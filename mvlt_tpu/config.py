@@ -1,0 +1,242 @@
+"""Configuration system.
+
+Replaces the reference's argparse (~60 flags, main_vl.py:28-178) + mmcv
+python-dict config files merged via ``update_from_config``
+(libs/utils.py:257-262).  Here a single frozen dataclass tree is the source
+of truth; experiment presets are plain dicts (see ``configs/``) applied with
+:func:`apply_overrides`, preserving the reference semantics that config-file
+keys override CLI/defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import runpy
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+
+@dataclass(frozen=True)
+class LossType:
+    """Which heads/objectives are active.
+
+    Mirrors the reference ``loss_type`` dict flag; the full key family in the
+    reference is {itm, mlm, itg, i2t, t2i, cls, rtd, bartNSG, bartMSS}
+    (mcloader/fashion_gen.py:809) but the model only ever reads
+    mlm/itm/cls/t2i (libs/pvlt.py:242-277); the dead keys are not rebuilt.
+    """
+
+    itm: bool = True
+    mlm: bool = True
+    t2i: bool = True
+    cls: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "LossType":
+        return cls(**{k: bool(v) for k, v in d.items() if k in {"itm", "mlm", "t2i", "cls"}})
+
+    def to_dict(self) -> dict:
+        return {"itm": int(self.itm), "mlm": int(self.mlm), "t2i": int(self.t2i), "cls": int(self.cls)}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """PVLT architecture hyperparameters (libs/pvlt.py:175-230, 415-483)."""
+
+    name: str = "pvlt_tiny"
+    img_size: int = 256
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dims: tuple = (64, 128, 320, 512)
+    num_heads: tuple = (1, 2, 5, 8)
+    mlp_ratios: tuple = (8, 8, 4, 4)
+    depths: tuple = (2, 2, 2, 2)
+    sr_ratios: tuple = (8, 4, 2, 1)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    block_ln_eps: float = 1e-6   # norm_layer=partial(nn.LayerNorm, eps=1e-6) (libs/pvlt.py:420)
+    other_ln_eps: float = 1e-5   # PatchEmbed/text_embed/SR/adapters use torch default eps
+    # VL part
+    token_hidden_size: int = 768
+    num_text_tokens: int = 128
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    bert_ln_eps: float = 1e-12   # HF BertConfig default layer_norm_eps
+    bert_dropout: float = 0.1    # HF hidden_dropout_prob
+    num_super_classes: int = 48
+    num_sub_classes: int = 122
+    itg_channel: int = 64
+    loss_type: LossType = field(default_factory=LossType)
+    # TPU execution policy
+    compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    use_pallas_attention: bool = True
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.embed_dims)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Fashion-Gen dataset + preprocessing (mcloader/fashion_gen.py)."""
+
+    data_path: str = ""
+    data_set: str = "FashionGen"
+    input_size: int = 256
+    num_text_tokens: int = 128
+    word_mask_rate: float = 0.15
+    mask_ratio: float = 0.50
+    mask_strategy: str = "random_grid"
+    mask_patch_size: int = 16
+    vocab_file: str = "preweights/bert-base-uncased-vocab.txt"
+    repeated_aug: int = 3          # RASampler x3 repeat (samplers.py:8-59)
+    num_workers: int = 4
+    prefetch_depth: int = 2
+    synthetic: bool = False        # synthetic data for benchmarking/tests
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + cosine schedule (main_vl.py:306-311)."""
+
+    opt: str = "adamw"
+    lr: float = 2.5e-4
+    min_lr: float = 1e-5
+    warmup_lr: float = 1e-6
+    warmup_epochs: int = 5
+    weight_decay: float = 0.01
+    clip_grad: float | None = None
+    epochs: int = 150
+    batch_size: int = 150          # per-device, like per-GPU in reference
+    lr_batch_denom: int = 512      # linear scaling lr*global_batch/512 (main_vl.py:306)
+    eps: float = 1e-8
+    betas: tuple = (0.9, 0.999)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level experiment config."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    output_dir: str = ""
+    seed: int = 0
+    resume: str = ""
+    finetune: str = ""
+    eval_mode: str = ""            # '', 'vl', 'retrieval-itr', 'retrieval-tir', 'recognition'
+    save_every_frac: float = 2.0 / 3.0  # checkpoint policy switch point (main_vl.py:444)
+    log_every: int = 10
+    # parallelism
+    dp_size: int = -1              # -1: all devices on the data axis
+    tp_size: int = 1
+
+
+def _replace(dc, updates: Mapping[str, Any]):
+    """dataclasses.replace that tolerates nested dict updates."""
+    kwargs = {}
+    for k, v in updates.items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key {k!r} for {type(dc).__name__}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
+            kwargs[k] = _replace(cur, v)
+        elif isinstance(cur, LossType) and isinstance(v, Mapping):
+            kwargs[k] = LossType.from_dict(v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return dataclasses.replace(dc, **kwargs)
+
+
+# Flat key -> nested path mapping for reference-style config files
+# (scripts_dws/configs/dws_mvlt_exp21.py uses a flat cfg dict).
+_FLAT_KEYS = {
+    "model": ("model", "name"),
+    "input_size": ("data", "input_size"),
+    "loss_type": ("model", "loss_type"),
+    "batch_size": ("optim", "batch_size"),
+    "epochs": ("optim", "epochs"),
+    "lr": ("optim", "lr"),
+    "weight_decay": ("optim", "weight_decay"),
+    "clip_grad": ("optim", "clip_grad"),
+    "drop_path": ("model", "drop_path_rate"),
+    "mask_ratio": ("data", "mask_ratio"),
+    "mask_strategy": ("data", "mask_strategy"),
+    "mask_patch_size": ("data", "mask_patch_size"),
+    "word_mask_rate": ("data", "word_mask_rate"),
+    "output_dir": ("output_dir",),
+    "data_set": ("data", "data_set"),
+    "data_path": ("data", "data_path"),
+    "seed": ("seed",),
+    "resume": ("resume",),
+    "finetune": ("finetune",),
+    "pretrain_pth": ("finetune",),
+    "num_text_tokens": ("model", "num_text_tokens"),
+    "token_hidden_size": ("model", "token_hidden_size"),
+    # ignored vestigial reference keys
+    "mixup": None,
+    "cutmix": None,
+}
+
+
+def apply_overrides(cfg: RunConfig, flat: Mapping[str, Any]) -> RunConfig:
+    """Apply a flat, reference-style config dict onto a RunConfig.
+
+    Implements the mmcv-config-overrides-args semantics of
+    libs/utils.py:257-262: every key in the file wins over the default.
+    """
+    nested: dict = {}
+    for k, v in flat.items():
+        path = _FLAT_KEYS.get(k, (k,))
+        if path is None:
+            continue
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    out = _replace(cfg, nested)
+    # keep dependent fields in sync
+    if out.model.img_size != out.data.input_size:
+        out = _replace(out, {"model": {"img_size": out.data.input_size}})
+    if out.model.num_text_tokens != out.data.num_text_tokens:
+        out = _replace(out, {"data": {"num_text_tokens": out.model.num_text_tokens}})
+    return out
+
+
+def load_config_file(path: str | pathlib.Path, base: RunConfig | None = None) -> RunConfig:
+    """Load an experiment preset.
+
+    Supports two formats:
+      * ``.py`` files defining ``cfg = dict(...)`` — the reference's format
+        (scripts_dws/configs/dws_mvlt_exp21.py);
+      * ``.json`` files with the same flat keys.
+    """
+    base = base or RunConfig()
+    path = pathlib.Path(path)
+    if path.suffix == ".py":
+        ns = runpy.run_path(str(path))
+        flat = ns["cfg"]
+    elif path.suffix == ".json":
+        flat = json.loads(path.read_text())
+    else:
+        raise ValueError(f"unsupported config format: {path.suffix}")
+    return apply_overrides(base, flat)
+
+
+def config_to_dict(cfg) -> dict:
+    """Serialize a config tree for run-dir provenance (the reference copies
+    the config file into the run dir, scripts_dws/dws_mvlt_exp21.sh:9)."""
+    if isinstance(cfg, LossType):
+        return cfg.to_dict()
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
