@@ -1,0 +1,233 @@
+"""Command-line entry point.
+
+The capability of the reference's main_vl.py orchestrator: config loading,
+model/optimizer construction, resume/finetune restore, 4-way eval dispatch
+(--eval / --eval-retrieval-itr / --eval-retrieval-tir / --eval-recognition,
+main_vl.py:348-399) and the training epoch loop with two-phase checkpointing
+(main_vl.py:422-503).
+
+Usage:
+  python -m mvlt_tpu.cli --config configs/pretrain_exp21.py
+  python -m mvlt_tpu.cli --config configs/pretrain_exp21.py --eval-retrieval-itr \
+      --resume <ckpt-dir-or-tag>
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvlt_tpu.config import DataConfig, RunConfig, apply_overrides, load_config_file
+from mvlt_tpu.models import create_model
+from mvlt_tpu.parallel import make_mesh, shard_batch, state_shardings
+from mvlt_tpu.parallel.mesh import maybe_init_distributed
+from mvlt_tpu.train.engine import train_one_epoch
+from mvlt_tpu.train.schedule import make_lr_schedule, make_optimizer
+from mvlt_tpu.train.state import create_train_state
+from mvlt_tpu.train.step import make_train_step
+from mvlt_tpu.utils.checkpoint import CheckpointManager
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("MVLT-TPU", add_help=True)
+    p.add_argument("--config", default="", help="experiment preset (.py with cfg=dict(...) or .json)")
+    p.add_argument("--output-dir", default="")
+    p.add_argument("--data-path", default="")
+    p.add_argument("--resume", default="")
+    p.add_argument("--finetune", default="", help="load model weights only, dropping mismatched heads")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0, help="per-host batch (0: from config)")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
+    p.add_argument("--eval-retrieval-itr", action="store_true")
+    p.add_argument("--eval-retrieval-tir", action="store_true")
+    p.add_argument("--eval-recognition", action="store_true")
+    return p
+
+
+def build_run_config(args) -> RunConfig:
+    cfg = RunConfig()
+    if args.config:
+        cfg = load_config_file(args.config, cfg)
+    overrides = {}
+    for flat_key, val in (("output_dir", args.output_dir), ("data_path", args.data_path),
+                          ("resume", args.resume), ("finetune", args.finetune)):
+        if val:
+            overrides[flat_key] = val
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.epochs:
+        overrides["epochs"] = args.epochs
+    overrides["seed"] = args.seed
+    cfg = apply_overrides(cfg, overrides)
+    if args.synthetic_data:
+        cfg = apply_overrides(cfg, {"data": {"synthetic": True}})
+    if args.tp_size != 1:
+        cfg = apply_overrides(cfg, {"tp_size": args.tp_size})
+    return cfg
+
+
+def main(argv=None) -> None:
+    args = get_args_parser().parse_args(argv)
+    cfg = build_run_config(args)
+    maybe_init_distributed()
+    is_main = jax.process_index() == 0
+
+    mesh = make_mesh(dp_size=cfg.dp_size, tp_size=cfg.tp_size)
+    if is_main:
+        print(f"mesh: {dict(mesh.shape)}  devices: {len(jax.devices())}  "
+              f"backend: {jax.default_backend()}", flush=True)
+
+    model = create_model(cfg.model)
+    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())  # seed+rank (main_vl.py:207)
+
+    # --- eval dispatch ------------------------------------------------------
+    if args.eval_retrieval_itr or args.eval_retrieval_tir:
+        from mvlt_tpu.data.fashion_gen import FashionGenRetrieval
+        from mvlt_tpu.eval.retrieval import evaluate_retrieval, make_itm_scorer
+
+        direction = "itr" if args.eval_retrieval_itr else "tir"
+        variables = _load_eval_variables(model, cfg, rng)
+        dataset = FashionGenRetrieval(cfg.data.data_path, cfg.data, direction)
+        scorer = make_itm_scorer(model, variables)
+        results = evaluate_retrieval(scorer, _simple_loader(dataset), is_main=is_main)
+        if is_main:
+            print(f"retrieval {direction.upper()}: "
+                  + " ".join(f"acc@{k}: {results[f'acc@{k}']}" for k in (1, 5, 10)), flush=True)
+        return
+
+    if args.eval_recognition:
+        from mvlt_tpu.data.fashion_gen import FashionGenRecognition
+        from mvlt_tpu.eval.recognition import evaluate_recognition, make_cls_scorer
+
+        variables = _load_eval_variables(model, cfg, rng)
+        dataset = FashionGenRecognition(cfg.data.data_path, cfg.data)
+        scorer = make_cls_scorer(model, variables)
+        evaluate_recognition(
+            scorer, _simple_loader(dataset, batch=64),
+            num_super=cfg.model.num_super_classes, num_sub=cfg.model.num_sub_classes,
+            artifact_dir=os.path.join(cfg.output_dir or ".", "visualization"),
+            is_main=is_main)
+        return
+
+    # --- training -----------------------------------------------------------
+    from mvlt_tpu.data.fashion_gen import build_dataset
+    from mvlt_tpu.data.pipeline import DataLoader
+    from mvlt_tpu.data.samplers import RepeatedAugmentSampler, SequentialSampler
+    from mvlt_tpu.eval.vl_eval import evaluate_vl, make_vl_eval_fn
+
+    train_ds = build_dataset("train", cfg.data, itm_enabled=cfg.model.loss_type.itm,
+                             seed=cfg.seed)
+    sampler = RepeatedAugmentSampler(len(train_ds), jax.process_index(),
+                                     jax.process_count(), cfg.data.repeated_aug, cfg.seed)
+    global_batch = cfg.optim.batch_size * mesh.shape["data"]
+    steps_per_epoch = max(1, len(sampler) // global_batch)
+
+    tx = make_optimizer(cfg.optim, global_batch, steps_per_epoch)
+    lr_schedule = make_lr_schedule(cfg.optim, global_batch, steps_per_epoch)
+
+    sample = jnp.zeros((2, cfg.data.input_size, cfg.data.input_size, 3), jnp.float32)
+    sample_ids = jnp.zeros((2, cfg.model.num_text_tokens), jnp.int32)
+    state = create_train_state(model, tx, rng, sample, sample_ids)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    ckpt = CheckpointManager(cfg.output_dir or "./runs/default", cfg)
+    start_epoch = 0
+    if cfg.resume:
+        state, start_epoch = ckpt.restore(state, "last")
+        if is_main:
+            print(f"resumed at epoch {start_epoch} (step {int(state.step)})", flush=True)
+    elif cfg.finetune:
+        from mvlt_tpu.convert.torch_to_jax import load_finetune_params
+
+        state = state.replace(params=load_finetune_params(cfg.finetune, state.params))
+        if is_main:
+            print(f"finetune init from {cfg.finetune}", flush=True)
+
+    put = functools.partial(shard_batch, mesh)
+    loader = DataLoader(train_ds, sampler, global_batch, put_fn=put,
+                        num_workers=cfg.data.num_workers,
+                        prefetch_depth=cfg.data.prefetch_depth)
+    train_step = make_train_step(model, cfg.model)
+    eval_fn = make_vl_eval_fn(model, cfg.model)
+
+    valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,
+                             seed=cfg.seed + 10_000)
+    valid_loader = DataLoader(valid_ds, SequentialSampler(len(valid_ds)),
+                              global_batch, put_fn=put, drop_last=False)
+
+    if args.eval:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        evaluate_vl(eval_fn, variables, valid_loader, is_main=is_main)
+        return
+
+    log_path = os.path.join(cfg.output_dir or ".", "train_log.jsonl")
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    for epoch in range(start_epoch, cfg.optim.epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        state, stats = train_one_epoch(train_step, state, loader, rng, epoch,
+                                       lr_schedule=lr_schedule, log_every=cfg.log_every,
+                                       is_main=is_main)
+        quality = None
+        if epoch >= int(cfg.optim.epochs * cfg.save_every_frac):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            eval_stats = evaluate_vl(eval_fn, variables, valid_loader, is_main=is_main)
+            quality = eval_stats["quality_score"]
+            stats.update({f"eval_{k}": v for k, v in eval_stats.items()})
+        if is_main:
+            ckpt.save_epoch(state, epoch, cfg.optim.epochs, quality, cfg.save_every_frac)
+            with open(log_path, "a") as f:  # rank-0 JSONL (main_vl.py:500-502)
+                f.write(json.dumps({"epoch": epoch, "time": time.time() - t0,
+                                    **{k: round(float(v), 6) for k, v in stats.items()}}) + "\n")
+
+
+def _load_eval_variables(model, cfg: RunConfig, rng):
+    """Build variables for eval: resume checkpoint, converted torch weights,
+    or fresh init (useful only for smoke tests)."""
+    sample = jnp.zeros((1, cfg.data.input_size, cfg.data.input_size, 3), jnp.float32)
+    sample_ids = jnp.zeros((1, cfg.model.num_text_tokens), jnp.int32)
+    variables = jax.jit(model.init)(rng, sample, sample_ids)
+    if cfg.resume:
+        if cfg.resume.endswith(".pth"):
+            from mvlt_tpu.convert.torch_to_jax import convert_checkpoint
+
+            params = convert_checkpoint(cfg.resume, variables["params"])
+            variables = dict(variables, params=params)
+        else:
+            import orbax.checkpoint as ocp
+
+            template = {"step": 0, "params": variables["params"],
+                        "batch_stats": variables.get("batch_stats", {}),
+                        "opt_state": None}
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(cfg.resume), template)
+            variables = {"params": restored["params"]}
+            if restored.get("batch_stats"):
+                variables["batch_stats"] = restored["batch_stats"]
+    return variables
+
+
+def _simple_loader(dataset, batch: int = 1):
+    """Minimal sequential loader for eval datasets."""
+    from mvlt_tpu.data.pipeline import DataLoader
+    from mvlt_tpu.data.samplers import SequentialSampler
+
+    return DataLoader(dataset, SequentialSampler(len(dataset)), batch,
+                      num_workers=4, drop_last=False)
+
+
+if __name__ == "__main__":
+    main()

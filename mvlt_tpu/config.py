@@ -46,7 +46,13 @@ class ModelConfig:
     """PVLT architecture hyperparameters (libs/pvlt.py:175-230, 415-483)."""
 
     name: str = "pvlt_tiny"
-    img_size: int = 256
+    # Construction-time grid for positional-embedding shapes.  The reference
+    # builds PVLT at the PVT default 224 (libs/pvlt.py:179, pvlt_tiny passes
+    # no img_size) so pvt_tiny.pth pos-embeds load exactly, then *runs* at
+    # input_size 256 via bilinear pos-embed interpolation
+    # (libs/pvlt.py:291-297).  Keep 224 for checkpoint parity; the runtime
+    # resolution is DataConfig.input_size.
+    img_size: int = 224
     patch_size: int = 4
     in_chans: int = 3
     embed_dims: tuple = (64, 128, 320, 512)
@@ -202,9 +208,8 @@ def apply_overrides(cfg: RunConfig, flat: Mapping[str, Any]) -> RunConfig:
             node = node.setdefault(p, {})
         node[path[-1]] = v
     out = _replace(cfg, nested)
-    # keep dependent fields in sync
-    if out.model.img_size != out.data.input_size:
-        out = _replace(out, {"model": {"img_size": out.data.input_size}})
+    # keep dependent fields in sync (img_size is intentionally NOT synced to
+    # input_size — see ModelConfig.img_size)
     if out.model.num_text_tokens != out.data.num_text_tokens:
         out = _replace(out, {"data": {"num_text_tokens": out.model.num_text_tokens}})
     return out

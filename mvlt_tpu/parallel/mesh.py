@@ -1,0 +1,64 @@
+"""Device mesh construction — the TPU-native replacement for the reference's
+NCCL process-group bring-up (libs/utils.py:189-254).
+
+The reference's distribution model is one process per GPU, env-var rank
+discovery, and ``init_process_group(backend='nccl')``.  On TPU the analogue
+is a single SPMD program over a `jax.sharding.Mesh`:
+
+  * axis ``data``  — batch (data-parallel); gradient psum rides ICI.
+  * axis ``model`` — tensor-parallel (megatron-style column/row sharding of
+    the MLP/attention projections and vocab sharding of the MLM decoder).
+
+For multi-host (multi-slice) deployments, `jax.distributed.initialize()` is
+called once before mesh construction; the data axis is laid out so that
+intra-slice reduction happens over ICI before any DCN hop (device order from
+`mesh_utils.create_device_mesh` handles this).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host bring-up: the TPU equivalent of the reference's
+    init_distributed_mode (libs/utils.py:218-254).  No-op when single-host
+    or already initialized."""
+    if os.environ.get("MVLT_MULTIHOST", "0") == "1":
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process
+
+
+def make_mesh(dp_size: int = -1, tp_size: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh.
+
+    dp_size == -1 means "all remaining devices on the data axis".
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp_size == -1:
+        if n % tp_size:
+            raise ValueError(f"{n} devices not divisible by tp_size={tp_size}")
+        dp_size = n // tp_size
+    if dp_size * tp_size != n:
+        raise ValueError(f"dp({dp_size}) * tp({tp_size}) != device count ({n})")
+    if n > 1:
+        try:
+            mesh_devices = mesh_utils.create_device_mesh((dp_size, tp_size), devices=devices)
+        except (ValueError, AssertionError):
+            mesh_devices = np.asarray(devices).reshape(dp_size, tp_size)
+    else:
+        mesh_devices = np.asarray(devices).reshape(1, 1)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))

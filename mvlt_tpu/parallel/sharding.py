@@ -1,0 +1,116 @@
+"""Sharding rules: how parameters, optimizer state and batches lay out on
+the (data, model) mesh.
+
+Replaces the reference's DDP wrap + NCCL gradient all-reduce
+(main_vl.py:298-302) with GSPMD: the batch is sharded over ``data``, matmul
+weights of the transformer are megatron-sharded over ``model``, everything
+else is replicated.  Under ``jax.jit`` with these shardings, XLA inserts the
+gradient psum (data axis) and the TP collectives (model axis) automatically,
+riding ICI.
+
+TP rules (column/row pairs so activations stay sharded between them):
+  * attention q/kv kernels, MLP fc1         -> output-dim sharded (column)
+  * attention proj, MLP fc2                 -> input-dim sharded (row)
+  * BERT word-embedding table + MLM bias    -> vocab-dim sharded (the 30522-
+    wide MLM logits are the single biggest tensor in the step; sharding the
+    vocab dim keeps the [B,T,vocab] logits distributed through the loss)
+
+Rules silently fall back to replication when a dim is not divisible by the
+model-axis size, so tp_size=1 (pure DP) is always valid.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mvlt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# (path regex, partition spec builder taking ndim) — first match wins.
+_RULES = [
+    # megatron column-parallel: shard output dim
+    (re.compile(r"(attn/(q|kv)|mlp/fc1)/kernel$"), lambda nd: P(*([None] * (nd - 1) + [MODEL_AXIS]))),
+    (re.compile(r"(attn/(q|kv)|mlp/fc1)/bias$"), lambda nd: P(MODEL_AXIS)),
+    # megatron row-parallel: shard input dim
+    (re.compile(r"(attn/proj|mlp/fc2)/kernel$"), lambda nd: P(*([MODEL_AXIS] + [None] * (nd - 1)))),
+    # vocab-parallel embedding + tied MLM decoder bias
+    (re.compile(r"word_embeddings/embedding$"), lambda nd: P(MODEL_AXIS, None)),
+    (re.compile(r"mlm_head/bias$"), lambda nd: P(MODEL_AXIS)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _spec_for(path_str: str, leaf) -> P:
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0:
+        return P()
+    for rx, builder in _RULES:
+        if rx.search(path_str):
+            spec = builder(ndim)
+            # divisibility guard: fall back to replication
+            for dim, axis in zip(leaf.shape, spec):
+                if axis is not None and dim % _axis_size.get(axis, 1):
+                    return P()
+            return spec
+    return P()
+
+
+_axis_size: dict = {}
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Pytree of NamedShardings matching ``params`` (works for any pytree
+    whose leaf paths end in param names — params, or optax mu/nu)."""
+    global _axis_size
+    _axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def f(path, leaf):
+        return NamedSharding(mesh, _spec_for(_path_str(path), leaf))
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def state_shardings(mesh: Mesh, state: Any) -> Any:
+    """Shardings for a full TrainState (params + batch_stats + opt_state).
+
+    Optimizer moments (mu/nu) mirror the param tree, so the same path rules
+    apply — their leaf paths contain the param path as a suffix.
+    """
+    global _axis_size
+    _axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def f(path, leaf):
+        return NamedSharding(mesh, _spec_for(_path_str(path), leaf))
+
+    return jax.tree_util.tree_map_with_path(f, state)
+
+
+def batch_sharding(mesh: Mesh, batch: Any) -> Any:
+    """Shard every batch tensor along its leading (batch) dim over ``data``."""
+
+    def f(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+    return jax.tree_util.tree_map(f, batch)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put a host batch with data-parallel sharding."""
+    return jax.device_put(batch, batch_sharding(mesh, batch))

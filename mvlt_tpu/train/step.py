@@ -1,0 +1,96 @@
+"""Jitted train / eval steps.
+
+The reference's hot loop (engine_grid_masking.py:27-150) alternates input
+images by step parity — even steps feed clean images, odd steps feed
+grid-masked images (engine_grid_masking.py:72-78) — and computes *every*
+enabled loss on whichever forward ran.  Here that alternation is a traced
+``jnp.where`` on the step counter, so one compiled graph covers both
+parities (no retrace, no host branching).
+
+Behavioral cleanup (documented per SURVEY.md §3.5): when t2i is disabled the
+reference's odd steps reuse stale outputs, effectively double-training each
+even batch; here the clean image is used on every step instead (CLS
+fine-tuning trains each batch exactly once — metric-equivalent, strictly
+less wasted compute).
+
+DP/TP note: there is no explicit pmean anywhere.  Under ``jax.jit`` with the
+batch sharded over the ``data`` axis and params replicated (or
+model-sharded), XLA's SPMD partitioner inserts the gradient all-reduce
+itself — this replaces DDP's NCCL hook (main_vl.py:298-302).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvlt_tpu.config import ModelConfig
+from mvlt_tpu.train.losses import compute_losses
+from mvlt_tpu.train.state import TrainState
+
+
+def make_train_step(model, cfg: ModelConfig,
+                    donate: bool = True) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted pre-training/fine-tuning step."""
+
+    use_masked_input = cfg.loss_type.t2i  # reference alternation only matters when t2i on
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        if use_masked_input:
+            is_odd = (state.step % 2 == 1)
+            images_in = jnp.where(
+                is_odd,
+                batch["masked_images"].astype(jnp.float32),
+                batch["images"].astype(jnp.float32),
+            )
+        else:
+            images_in = batch["images"].astype(jnp.float32)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables, images_in, batch["input_ids"], train=True,
+                mutable=mutable, rngs={"dropout": step_rng},
+            )
+            if mutable:
+                out, new_model_state = out
+                new_batch_stats = new_model_state["batch_stats"]
+            else:
+                new_batch_stats = state.batch_stats
+            losses = compute_losses(out, batch, cfg.num_super_classes, cfg.num_sub_classes)
+            return losses["total_loss"], (losses, new_batch_stats)
+
+        grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_batch_stats)
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: ModelConfig) -> Callable[[TrainState, Dict], Dict[str, Any]]:
+    """One eval forward returning the logits dict (no grad, running BN stats).
+
+    The VL eval protocol (engine_grid_masking.py:153-333) runs three forwards
+    per batch — masked-text for MLM, clean for ITM/CLS, masked-image for T2I.
+    The engine layer composes them from this single-forward step so each
+    variant shares the compiled graph.
+    """
+
+    def eval_step(state: TrainState, images: jnp.ndarray,
+                  input_ids: jnp.ndarray) -> Dict[str, Any]:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, images.astype(jnp.float32), input_ids, train=False)
+        return {k: v for k, v in out.items() if v is not None}
+
+    return jax.jit(eval_step)

@@ -1,0 +1,115 @@
+"""Weight-converter tests: round-trip flax -> torch-named state dict ->
+flax, plus finetune shape-filtering semantics (main_vl.py:284-290)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvlt_tpu.config import LossType, ModelConfig
+from mvlt_tpu.convert.torch_to_jax import (
+    convert_state_dict, export_state_dict, translate_torch_key,
+)
+from mvlt_tpu.models import create_model
+
+
+def micro_cfg(**kw):
+    base = dict(
+        img_size=64, embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 2, 4),
+        mlp_ratios=(2, 2, 2, 2), token_hidden_size=32, num_text_tokens=16,
+        vocab_size=64, max_position_embeddings=32, itg_channel=8,
+        compute_dtype="float32", use_pallas_attention=False, drop_path_rate=0.0,
+        loss_type=LossType(itm=True, mlm=True, t2i=True, cls=True),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    cfg = micro_cfg()
+    model = create_model(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, ids)
+    v2 = jax.jit(model.init)(jax.random.PRNGKey(7), imgs, ids)
+    return cfg, v1, v2
+
+
+def test_export_covers_all_params(model_vars):
+    _, v1, _ = model_vars
+    sd = export_state_dict(v1["params"], v1.get("batch_stats"))
+    unmapped = [k for k in sd if k.endswith(":UNMAPPED")]
+    assert unmapped == [], f"unmapped flax params: {unmapped}"
+
+
+def test_roundtrip_exact(model_vars):
+    """export(params) -> convert onto differently-seeded template ==
+    original params, bit-exact."""
+    _, v1, v2 = model_vars
+    sd = export_state_dict(v1["params"], v1.get("batch_stats"))
+    params, batch_stats, report = convert_state_dict(
+        sd, v2["params"], v2.get("batch_stats"), verbose=False)
+    assert not report["unmapped"], report["unmapped"]
+    assert not report["skipped_shape"]
+
+    flat1 = jax.tree_util.tree_leaves_with_path(v1["params"])
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(params))
+    for path, leaf in flat1:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_new[path]),
+                                      err_msg=str(path))
+    bs1 = jax.tree_util.tree_leaves_with_path(v1["batch_stats"])
+    bs_new = dict(jax.tree_util.tree_leaves_with_path(batch_stats))
+    for path, leaf in bs1:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(bs_new[path]))
+
+
+def test_key_translation_spotchecks():
+    """Hand-audited torch names from the reference model definitions."""
+    cases = {
+        "patch_embed1.proj.weight": ("patch_embed1", "proj", "kernel"),
+        "block3.1.attn.sr.weight": ("block3_1", "attn", "sr", "kernel"),
+        "block1.0.mlp.fc1.weight": ("block1_0", "mlp", "fc1", "kernel"),
+        "text_embeddings.word_embeddings.weight":
+            ("text_embeddings", "word_embeddings", "embedding"),
+        "mlm_head.transform.LayerNorm.weight":
+            ("mlm_head", "transform", "LayerNorm", "scale"),
+        "mlm_head.bias": ("mlm_head", "bias"),
+        "itm_head.linear_bias": ("itm_head", "linear_bias"),
+        "t2i_head.reduction2.0.weight": ("t2i_head", "reduction2", "conv", "kernel"),
+        "t2i_head.conv_upsample5.1.running_mean": ("t2i_head", "conv_upsample5", "bn", "mean"),
+        "t2i_head.score.0.weight": ("t2i_head", "score_conv", "kernel"),
+        "text_embed2.0.weight": ("text_embed2_dense", "kernel"),
+        "sup_cls_head_embed.1.bias": ("sup_cls_head_embed_ln", "bias"),
+    }
+    for torch_key, flax_path in cases.items():
+        t = translate_torch_key(torch_key)
+        assert t is not None, torch_key
+        assert t[0] == flax_path, f"{torch_key}: {t[0]} != {flax_path}"
+    # skipped keys
+    assert translate_torch_key("mlm_head.mlm_decoder.weight") is None
+    assert translate_torch_key("t2i_head.reduction1.1.num_batches_tracked") is None
+    assert translate_torch_key("cls_token") is None
+    assert translate_torch_key("head.weight") is None
+
+
+def test_finetune_shape_filtering(model_vars):
+    """Loading a checkpoint with differently-sized CLS heads skips only
+    those tensors (finetune semantics)."""
+    cfg, v1, _ = model_vars
+    sd = export_state_dict(v1["params"], v1.get("batch_stats"))
+    cfg2 = dataclasses.replace(cfg, num_super_classes=10, num_sub_classes=20)
+    model2 = create_model(cfg2)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    v3 = jax.jit(model2.init)(jax.random.PRNGKey(3), imgs, ids)
+    params, _, report = convert_state_dict(
+        sd, v3["params"], v3.get("batch_stats"), strict_shapes=False, verbose=False)
+    # sup/sub: linear kernel + linear bias + extra linear_bias each
+    assert len(report["skipped_shape"]) == 6, report["skipped_shape"]
+    assert all("cls_head" in s for s in report["skipped_shape"])
+    # backbone tensors still loaded exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["pos_embed1"]), np.asarray(v1["params"]["pos_embed1"]))
