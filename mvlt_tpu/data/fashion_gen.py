@@ -117,7 +117,12 @@ class FashionGenPretrain:
 
         # --- ITM pairing ---------------------------------------------------
         if self.itm_enabled and rng.random() <= 0.5:
-            offset = int(rng.integers(50, self.size // 2))
+            # reference draws offset in [50, size/2) (mcloader/
+            # fashion_gen.py:134); clamp for small datasets so tests and
+            # debug subsets don't violate low < high.
+            lo = min(50, max(1, self.size - 2))
+            hi = max(self.size // 2, lo + 1)
+            offset = int(rng.integers(lo, hi))
             text_idx = (index + offset) % self.size
             itm_label = 0
         else:

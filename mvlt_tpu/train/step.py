@@ -53,15 +53,15 @@ def make_train_step(model, cfg: ModelConfig,
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
-            if state.batch_stats:
+            has_bn = bool(state.batch_stats)
+            if has_bn:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
             out = model.apply(
                 variables, images_in, batch["input_ids"], train=True,
-                mutable=mutable, rngs={"dropout": step_rng},
+                mutable=["batch_stats"] if has_bn else False,
+                rngs={"dropout": step_rng},
             )
-            if mutable:
+            if has_bn:
                 out, new_model_state = out
                 new_batch_stats = new_model_state["batch_stats"]
             else:

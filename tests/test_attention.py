@@ -1,0 +1,125 @@
+"""Attention-core equivalence tests (SURVEY.md §7 hard-part 3).
+
+The Pallas fused kernel must match the einsum reference path on the exact
+Q/KV shape regime of PVLT (joint [HW+T] queries, SRA-reduced KV), including
+the KV-length padding mask.  On CPU the kernel runs in interpreter mode.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvlt_tpu.ops.attention import _attention_xla
+
+
+def _fused_interpret(q, k, v, scale):
+    """Run the Pallas kernel in interpreter mode (CPU-safe)."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        from mvlt_tpu.ops import pallas_attention
+
+        return pallas_attention.fused_attention.__wrapped__(q, k, v, scale=scale)
+
+
+# PVLT stage shapes @ 256 input (SURVEY.md §3.2): (N, M, heads, head_dim)
+STAGE_SHAPES = [
+    (4224, 192, 1, 64),   # stage 1 (sr 8)
+    (1152, 192, 2, 64),   # stage 2 (sr 4)
+    (384, 192, 5, 64),    # stage 3 (sr 2)
+    (192, 192, 8, 64),    # stage 4 (full)
+]
+
+
+@pytest.mark.parametrize("n,m,h,d", [STAGE_SHAPES[2], STAGE_SHAPES[3]])
+def test_fused_matches_xla_fp32(rng, n, m, h, d):
+    b = 2
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    scale = d ** -0.5
+    want = _attention_xla(q, k, v, scale)
+    got = _fused_interpret(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_odd_shapes(rng):
+    """Non-tile-aligned N and M exercise the padding/mask paths."""
+    b, h, n, m, d = 1, 2, 100, 37, 16
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    want = _attention_xla(q, k, v, 0.25)
+    got = _fused_interpret(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bf16(rng):
+    b, h, n, m, d = 1, 2, 256, 192, 64
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.bfloat16)
+    want = _attention_xla(q, k, v, d ** -0.5).astype(jnp.float32)
+    got = _fused_interpret(q, k, v, d ** -0.5).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_sra_attention_module_matches_manual(rng):
+    """JointSRAttention (sr>1) against a hand-rolled numpy reference of the
+    split-downsample-concat attention (libs/pvlt.py:95-121)."""
+    from flax import linen as nn
+
+    from mvlt_tpu.models.pvlt import JointSRAttention
+
+    b, hgrid, wgrid, t, c, heads, sr = 2, 8, 8, 4, 16, 2, 2
+    n = hgrid * wgrid + t
+    x = rng.normal(size=(b, n, c)).astype(np.float32)
+
+    attn = JointSRAttention(dim=c, num_heads=heads, sr_ratio=sr, qkv_bias=True,
+                            use_pallas=False)
+    variables = attn.init(jax.random.PRNGKey(0), jnp.asarray(x), (hgrid, wgrid), t)
+    got = np.asarray(attn.apply(variables, jnp.asarray(x), (hgrid, wgrid), t))
+
+    p = variables["params"]
+    # manual: q over all tokens
+    q = x @ np.asarray(p["q"]["kernel"]) + np.asarray(p["q"]["bias"])
+    # visual tokens -> grid -> strided conv (kernel sr x sr, stride sr)
+    vis = x[:, : hgrid * wgrid].reshape(b, hgrid, wgrid, c)
+    kern = np.asarray(p["sr"]["kernel"])  # [sr, sr, c, c]
+    out_h, out_w = hgrid // sr, wgrid // sr
+    red = np.zeros((b, out_h, out_w, c), np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            patch = vis[:, i * sr:(i + 1) * sr, j * sr:(j + 1) * sr, :]
+            red[:, i, j] = np.einsum("bhwc,hwcd->bd", patch, kern)
+    red = red + np.asarray(p["sr"]["bias"])
+    red = red.reshape(b, out_h * out_w, c)
+    # LN (eps 1e-5)
+    mu = red.mean(-1, keepdims=True)
+    var = red.var(-1, keepdims=True)
+    red = (red - mu) / np.sqrt(var + 1e-5)
+    red = red * np.asarray(p["norm"]["scale"]) + np.asarray(p["norm"]["bias"])
+    kv_in = np.concatenate([red, x[:, hgrid * wgrid:]], axis=1)
+    kv = kv_in @ np.asarray(p["kv"]["kernel"]) + np.asarray(p["kv"]["bias"])
+    m = kv_in.shape[1]
+    kv = kv.reshape(b, m, 2, heads, c // heads).transpose(2, 0, 3, 1, 4)
+    kmat, vmat = kv[0], kv[1]
+    qh = q.reshape(b, n, heads, c // heads).transpose(0, 2, 1, 3)
+    logits = np.einsum("bhnd,bhmd->bhnm", qh, kmat) * (c // heads) ** -0.5
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    out = np.einsum("bhnm,bhmd->bhnd", probs, vmat).transpose(0, 2, 1, 3).reshape(b, n, c)
+    want = out @ np.asarray(p["proj"]["kernel"]) + np.asarray(p["proj"]["bias"])
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

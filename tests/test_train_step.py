@@ -1,0 +1,154 @@
+"""Train-step tests: loss decreases, parity alternation, DP invariance.
+
+DP invariance is the key distributed-correctness property (the reference
+gets it from DDP's gradient all-reduce; here from GSPMD): a step on an
+8-device data-parallel mesh must produce the same parameters as the same
+step on one device.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvlt_tpu.config import LossType, ModelConfig, OptimConfig
+from mvlt_tpu.models import create_model
+from mvlt_tpu.parallel import make_mesh, shard_batch, state_shardings
+from mvlt_tpu.train.schedule import make_optimizer
+from mvlt_tpu.train.state import create_train_state
+from mvlt_tpu.train.step import make_train_step
+
+B = 8
+IMG = 32
+T = 16
+
+
+def micro_cfg(**kw):
+    base = dict(
+        img_size=IMG, embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 2, 4),
+        mlp_ratios=(2, 2, 2, 2), token_hidden_size=32, num_text_tokens=T,
+        vocab_size=64, max_position_embeddings=32, itg_channel=8,
+        compute_dtype="float32", use_pallas_attention=False, drop_path_rate=0.0,
+        loss_type=LossType(itm=True, mlm=True, t2i=True, cls=False),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_batch(rng, b=B):
+    imgs = rng.random((b, IMG, IMG, 3)).astype(np.float32)
+    return {
+        "images": imgs,
+        "masked_images": np.where(rng.random((b, IMG, IMG, 1)) < 0.5, 1e-6, imgs).astype(np.float32),
+        "input_ids": rng.integers(0, 64, (b, T)).astype(np.int32),
+        "ori_input_ids": rng.integers(0, 64, (b, T)).astype(np.int32),
+        "mlm_labels": np.where(rng.random((b, T)) < 0.15,
+                               rng.integers(0, 64, (b, T)), -1).astype(np.int32),
+        "itm_labels": rng.integers(0, 2, (b,)).astype(np.int32),
+        "sup_cls_labels": rng.integers(0, 48, (b,)).astype(np.int32),
+        "sub_cls_labels": rng.integers(0, 122, (b,)).astype(np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    cfg = micro_cfg()
+    model = create_model(cfg)
+    tx = make_optimizer(OptimConfig(epochs=2, warmup_epochs=0, batch_size=B), B, 10)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((B, IMG, IMG, 3), jnp.float32)
+    ids = jnp.zeros((B, T), jnp.int32)
+    state = create_train_state(model, tx, rng, imgs, ids)
+    return cfg, model, state
+
+
+def test_loss_decreases(setup):
+    cfg, model, state = setup
+    step = make_train_step(model, cfg, donate=False)
+    rng = jax.random.PRNGKey(1)
+    batch = make_batch(np.random.default_rng(0))
+    first = None
+    for i in range(8):
+        state, losses = step(state, batch, rng)
+        total = float(losses["total_loss"])
+        assert np.isfinite(total)
+        if i == 0:
+            first = total
+    assert float(losses["total_loss"]) < first, "loss did not decrease on a fixed batch"
+
+
+def test_parity_alternation(setup):
+    """Even steps consume clean images, odd steps masked images: with
+    radically different masked images, the t2i loss must differ across
+    parities."""
+    cfg, model, state = setup
+    step = make_train_step(model, cfg, donate=False)
+    rng = jax.random.PRNGKey(1)
+    batch = make_batch(np.random.default_rng(0))
+    batch["masked_images"] = np.full_like(batch["images"], 1e-6)
+    assert int(state.step) % 2 == 0
+    _, even_losses = step(state, batch, rng)
+    state_odd = state.replace(step=state.step + 1)
+    _, odd_losses = step(state_odd, batch, rng)
+    assert abs(float(even_losses["loss_t2i"]) - float(odd_losses["loss_t2i"])) > 1e-6
+
+
+def test_dp_matches_single_device(setup):
+    """Same batch, same init: 8-way DP step == single-device step."""
+    cfg, model, state = setup
+    batch = make_batch(np.random.default_rng(2))
+    rng = jax.random.PRNGKey(3)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_single, losses_single = step(state, batch, rng)
+
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    sharded_batch = shard_batch(mesh, batch)
+    s_dp, losses_dp = step(sharded_state, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(losses_single["total_loss"]),
+                               float(losses_dp["total_loss"]), rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s_single.params)
+    p2 = jax.tree_util.tree_leaves(jax.device_get(s_dp.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_tp_matches_single_device(setup):
+    """DP4 x TP2 mesh step == single-device step (model-sharded matmuls)."""
+    cfg, model, state = setup
+    batch = make_batch(np.random.default_rng(4))
+    rng = jax.random.PRNGKey(5)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_single, _ = step(state, batch, rng)
+
+    mesh = make_mesh(dp_size=4, tp_size=2)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    sharded_batch = shard_batch(mesh, batch)
+    s_tp, _ = step(sharded_state, sharded_batch, rng)
+
+    p1 = jax.tree_util.tree_leaves(s_single.params)
+    p2 = jax.tree_util.tree_leaves(jax.device_get(s_tp.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_cls_only_finetune_step(setup):
+    """loss_type cls-only (dws_mvlt_ft_exp48): every step trains CLS on
+    clean images (the stale-output quirk is deliberately fixed,
+    SURVEY.md §3.5)."""
+    cfg = micro_cfg(loss_type=LossType(itm=False, mlm=False, t2i=False, cls=True))
+    model = create_model(cfg)
+    tx = make_optimizer(OptimConfig(epochs=2, warmup_epochs=0, batch_size=B), B, 10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((B, IMG, IMG, 3)), jnp.zeros((B, T), jnp.int32))
+    step = make_train_step(model, cfg, donate=False)
+    batch = make_batch(np.random.default_rng(1))
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert float(losses["loss_sup_cls"]) > 0
+    assert float(losses["loss_t2i"]) == 0
+    assert float(losses["loss_mlm"]) == 0
