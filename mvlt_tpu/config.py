@@ -186,6 +186,9 @@ _FLAT_KEYS = {
     "pretrain_pth": ("finetune",),
     "num_text_tokens": ("model", "num_text_tokens"),
     "token_hidden_size": ("model", "token_hidden_size"),
+    "model_overrides": ("model",),   # nested ModelConfig dict
+    "data_overrides": ("data",),
+    "optim_overrides": ("optim",),
     # ignored vestigial reference keys
     "mixup": None,
     "cutmix": None,
@@ -206,7 +209,11 @@ def apply_overrides(cfg: RunConfig, flat: Mapping[str, Any]) -> RunConfig:
         node = nested
         for p in path[:-1]:
             node = node.setdefault(p, {})
-        node[path[-1]] = v
+        if isinstance(v, Mapping) and isinstance(node.get(path[-1]), dict) \
+                and path[-1] not in ("loss_type",):
+            node[path[-1]].update(v)   # merge model_overrides with e.g. model name
+        else:
+            node[path[-1]] = v
     out = _replace(cfg, nested)
     # keep dependent fields in sync (img_size is intentionally NOT synced to
     # input_size — see ModelConfig.img_size)

@@ -36,8 +36,12 @@ class RepeatedAugmentSampler:
         self.epoch = 0
         self.num_samples = int(math.ceil(dataset_len * num_repeats / world_size))
         self.total_size = self.num_samples * world_size
-        # reference truncation rule (samplers.py:28): floor(len/256)*256/world
+        # reference truncation rule (samplers.py:28): floor(len/256)*256/world;
+        # degenerates to 0 for datasets under 256 items (tests/debug subsets),
+        # so clamp to the full repeated shard there.
         self.num_selected = int(math.floor(dataset_len // 256 * 256 / world_size))
+        if self.num_selected == 0:
+            self.num_selected = self.num_samples
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

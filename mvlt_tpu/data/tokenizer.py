@@ -26,9 +26,21 @@ from typing import Dict, Iterable, List, Sequence
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 
 
+def resolve_vocab_path(vocab_file: str) -> str:
+    """Resolve a relative vocab path against the repo/package root so the
+    shipped preweights/ asset is found regardless of cwd."""
+    import os
+
+    if os.path.isabs(vocab_file) or os.path.exists(vocab_file):
+        return vocab_file
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidate = os.path.join(pkg_root, vocab_file)
+    return candidate if os.path.exists(candidate) else vocab_file
+
+
 def load_vocab(vocab_file: str) -> Dict[str, int]:
     vocab: Dict[str, int] = {}
-    with open(vocab_file, encoding="utf-8") as f:
+    with open(resolve_vocab_path(vocab_file), encoding="utf-8") as f:
         for i, line in enumerate(f):
             tok = line.rstrip("\n")
             if tok:
