@@ -40,7 +40,7 @@ from mvlt_tpu.config import DataConfig
 from mvlt_tpu.data.image_ops import load_image
 from mvlt_tpu.data.masks import apply_mask, generate_grid_mask, generate_square_mask, generate_stroke_mask
 from mvlt_tpu.data.text_masking import process_caption
-from mvlt_tpu.data.tokenizer import WordPieceTokenizer
+from mvlt_tpu.data.tokenizer import WordPieceTokenizer, make_tokenizer
 
 
 def _listdir_sorted(d: str) -> List[str]:
@@ -64,7 +64,7 @@ class FashionGenPretrain:
         self.itm_enabled = itm_enabled
         self.seed = seed
         self.epoch = 0
-        self.tokenizer = WordPieceTokenizer(cfg.vocab_file)
+        self.tokenizer = make_tokenizer(cfg.vocab_file)
 
         img_dir = os.path.join(root, f"extracted_{split}_images")
         txt_dir = os.path.join(root, f"full_{split}_info_PAI")
@@ -162,7 +162,7 @@ class FashionGenRetrieval:
         if direction not in ("itr", "tir"):
             raise ValueError("direction must be 'itr' or 'tir'")
         self.cfg = cfg
-        self.tokenizer = WordPieceTokenizer(cfg.vocab_file)
+        self.tokenizer = make_tokenizer(cfg.vocab_file)
         self.image_root = os.path.join(root, "extracted_valid_images")
         bundle_dir = os.path.join(root, f"retrieve_{direction.upper()}")
         self.bundles = _listdir_sorted(bundle_dir)
@@ -196,7 +196,7 @@ class FashionGenRecognition:
 
     def __init__(self, root: str, cfg: DataConfig):
         self.cfg = cfg
-        self.tokenizer = WordPieceTokenizer(cfg.vocab_file)
+        self.tokenizer = make_tokenizer(cfg.vocab_file)
         self.images = _listdir_sorted(os.path.join(root, "extracted_valid_images"))
         self.text_dicts = _listdir_sorted(os.path.join(root, "full_valid_info_PAI"))
         if len(self.images) != len(self.text_dicts):
@@ -242,7 +242,7 @@ class SyntheticFashionGen:
         self.epoch = 0
         self.num_super = num_super
         self.num_sub = num_sub
-        self.tokenizer = WordPieceTokenizer(cfg.vocab_file)
+        self.tokenizer = make_tokenizer(cfg.vocab_file)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

@@ -56,8 +56,7 @@ def process_caption(caption: str, tokenizer: WordPieceTokenizer, max_len: int,
     attention_mask, segment_ids (all-zero; cls/sequence/pad segment ids are
     all 0 in the reference, mcloader/fashion_gen.py:322-341), mlm_labels.
     """
-    toks = tokenizer.tokenize(caption)[: max_len - 2]
-    ids = tokenizer.convert_tokens_to_ids(toks)
+    ids = tokenizer.tokenize_to_ids(caption)[: max_len - 2]
     masked_ids, labels = mask_tokens(ids, len(tokenizer), tokenizer.mask_id,
                                      word_mask_rate, rng)
 

@@ -174,6 +174,11 @@ class WordPieceTokenizer:
     def convert_tokens_to_ids(self, tokens: Iterable[str]) -> List[int]:
         return [self.vocab.get(t, self.unk_id) for t in tokens]
 
+    def tokenize_to_ids(self, text: str) -> List[int]:
+        """tokenize + convert in one call — the interface the data pipeline
+        uses, overridden by the native C++ tokenizer."""
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
     def convert_ids_to_tokens(self, ids: Iterable[int]) -> List[str]:
         return [self.inv_vocab.get(i, UNK) for i in ids]
 
@@ -187,3 +192,18 @@ class WordPieceTokenizer:
 
     def __len__(self) -> int:
         return len(self.vocab)
+
+
+def make_tokenizer(vocab_file: str):
+    """Prefer the native C++ tokenizer (exact-parity with per-row Python
+    fallback); return the pure-Python tokenizer when the library is
+    unavailable."""
+    try:
+        from mvlt_tpu.data.native import NativeTokenizer
+
+        t = NativeTokenizer(vocab_file)
+        if t.native_available:
+            return t
+    except Exception:
+        pass
+    return WordPieceTokenizer(vocab_file)
