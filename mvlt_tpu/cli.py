@@ -51,6 +51,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
     p.add_argument("--eval-recognition", action="store_true")
+    p.add_argument("--viz", action="store_true", help="dump qualitative samples")
+    p.add_argument("--viz-samples", type=int, default=32)
+    p.add_argument("--profile-dir", default="", help="jax.profiler trace output dir")
     return p
 
 
@@ -172,14 +175,38 @@ def main(argv=None) -> None:
         evaluate_vl(eval_fn, variables, valid_loader, is_main=is_main)
         return
 
+    if args.viz:
+        from mvlt_tpu.eval.visualize import visualize_vl
+        from mvlt_tpu.train.step import make_eval_step
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def viz_step(variables, images, ids):
+            return model.apply(variables, images, ids, train=False)
+
+        n = visualize_vl(jax.jit(viz_step), variables, valid_loader,
+                         valid_ds.tokenizer,
+                         os.path.join(cfg.output_dir or ".", "visualization"),
+                         max_samples=args.viz_samples)
+        if is_main:
+            print(f"wrote {n} visualization samples", flush=True)
+        return
+
+    from mvlt_tpu.utils.profiling import trace
+
     log_path = os.path.join(cfg.output_dir or ".", "train_log.jsonl")
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     for epoch in range(start_epoch, cfg.optim.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        state, stats = train_one_epoch(train_step, state, loader, rng, epoch,
-                                       lr_schedule=lr_schedule, log_every=cfg.log_every,
-                                       is_main=is_main)
+        # profile only the first trained epoch when requested
+        profile_dir = args.profile_dir if epoch == start_epoch else ""
+        with trace(profile_dir):
+            state, stats = train_one_epoch(train_step, state, loader, rng, epoch,
+                                           lr_schedule=lr_schedule, log_every=cfg.log_every,
+                                           is_main=is_main)
         quality = None
         if epoch >= int(cfg.optim.epochs * cfg.save_every_frac):
             variables = {"params": state.params}
