@@ -61,6 +61,8 @@ class ModelConfig:
     depths: tuple = (2, 2, 2, 2)
     sr_ratios: tuple = (8, 4, 2, 1)
     qkv_bias: bool = True
+    variant: str = "v1"        # 'v1' (reference PVT) | 'v2' (PVT-v2 blocks)
+    linear_sr: bool = False    # PVT-v2 linear SRA (avg-pool KV, O(N))
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1

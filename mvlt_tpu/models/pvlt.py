@@ -87,6 +87,32 @@ class PatchEmbed(nn.Module):
         return x, (gh, gw)
 
 
+class OverlapPatchEmbed(nn.Module):
+    """PVT-v2 overlapping patch embedding: conv with kernel > stride and
+    'same'-style padding (k=7,s=4 for stage 1; k=3,s=2 after) + LayerNorm.
+    Backbone-variant extension (BASELINE.json stretch config: PVT-v2 swap)."""
+
+    patch_size: int        # kernel
+    stride: int
+    embed_dim: int
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, h, w, _ = x.shape
+        pad = self.patch_size // 2
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride), padding=pad,
+            dtype=self.dtype, kernel_init=_trunc02, name="proj",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, self.embed_dim)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        return x, (gh, gw)
+
+
 class JointSRAttention(nn.Module):
     """Joint image+text attention with SRA on the visual KV path
     (libs/pvlt.py:74-121).
@@ -95,6 +121,10 @@ class JointSRAttention(nn.Module):
     the visual tokens are downsampled by a (sr x sr) strided conv + LN before
     the KV projection and re-concatenated with the (full-length) text tokens,
     giving an asymmetric KV of length (H/sr)(W/sr) + T.
+
+    ``linear_sr`` swaps the strided conv for PVT-v2's linear SRA: average
+    pool the visual tokens to a fixed 7x7 grid, 1x1 conv, LN, GELU — KV
+    length becomes 49+T at every stage regardless of resolution.
     """
 
     dim: int
@@ -105,6 +135,8 @@ class JointSRAttention(nn.Module):
     proj_drop: float = 0.0
     ln_eps: float = 1e-5
     use_pallas: bool = True
+    linear_sr: bool = False
+    linear_sr_pool: int = 7
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +152,20 @@ class JointSRAttention(nn.Module):
                      kernel_init=_trunc02, name="q")(x)
         q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
 
-        if self.sr_ratio > 1:
+        if self.linear_sr:
+            # PVT-v2 linear SRA: avg-pool visual grid to a fixed size, 1x1
+            # conv, LN, GELU.  O(N) in image tokens.
+            p = min(self.linear_sr_pool, h, w)
+            win = (max(1, h // p), max(1, w // p))
+            x_vis = x[:, : h * w, :].reshape(b, h, w, c)
+            x_vis = nn.avg_pool(x_vis, window_shape=win, strides=win)
+            x_vis = nn.Conv(c, kernel_size=(1, 1), dtype=self.dtype,
+                            kernel_init=_trunc02, name="sr")(x_vis)
+            x_vis = x_vis.reshape(b, -1, c)
+            x_vis = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x_vis)
+            x_vis = nn.gelu(x_vis, approximate=False)
+            kv_in = jnp.concatenate([x_vis, x[:, h * w :, :]], axis=1)
+        elif self.sr_ratio > 1:
             sr = self.sr_ratio
             x_vis = x[:, : h * w, :].reshape(b, h, w, c)
             x_vis = nn.Conv(c, kernel_size=(sr, sr), strides=(sr, sr),
@@ -147,6 +192,35 @@ class JointSRAttention(nn.Module):
         if self.proj_drop:
             out = nn.Dropout(rate=self.proj_drop)(out, deterministic=deterministic)
         return out
+
+
+class DWConvMlp(nn.Module):
+    """PVT-v2 MLP: fc1 -> 3x3 depthwise conv over the *visual* tokens (text
+    tokens pass through) -> GELU -> fc2.  Joint-sequence adaptation of
+    PVT-v2's DWConv MLP for the v2 backbone variant."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hw: tuple, *, deterministic: bool = True) -> jnp.ndarray:
+        h, w = hw
+        b, n, _ = x.shape
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, kernel_init=_trunc02, name="fc1")(x)
+        vis = x[:, : h * w, :].reshape(b, h, w, self.hidden_features)
+        vis = nn.Conv(self.hidden_features, kernel_size=(3, 3), padding=1,
+                      feature_group_count=self.hidden_features,
+                      dtype=self.dtype, name="dwconv")(vis)
+        x = jnp.concatenate([vis.reshape(b, h * w, -1), x[:, h * w :, :]], axis=1)
+        x = nn.gelu(x, approximate=False)
+        if self.drop:
+            x = nn.Dropout(rate=self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype, kernel_init=_trunc02, name="fc2")(x)
+        if self.drop:
+            x = nn.Dropout(rate=self.drop)(x, deterministic=deterministic)
+        return x
 
 
 class Mlp(nn.Module):
@@ -183,6 +257,8 @@ class Block(nn.Module):
     ln_eps: float = 1e-6
     sr_ln_eps: float = 1e-5
     use_pallas: bool = True
+    variant: str = "v1"
+    linear_sr: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -192,19 +268,24 @@ class Block(nn.Module):
             self.dim, self.num_heads, sr_ratio=self.sr_ratio,
             qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
             proj_drop=self.drop, ln_eps=self.sr_ln_eps,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
+            use_pallas=self.use_pallas, linear_sr=self.linear_sr,
+            dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
             hw, t_num, deterministic=deterministic,
         )
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
-        mlp_out = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
-            dtype=self.dtype, name="mlp",
-        )(
-            nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x),
-            deterministic=deterministic,
-        )
+        normed = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        if self.variant == "v2":
+            mlp_out = DWConvMlp(
+                int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
+                dtype=self.dtype, name="mlp",
+            )(normed, hw, deterministic=deterministic)
+        else:
+            mlp_out = Mlp(
+                int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
+                dtype=self.dtype, name="mlp",
+            )(normed, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic=deterministic)
         return x
 
@@ -267,10 +348,18 @@ class PVLT(nn.Module):
         for i in range(cfg.num_stages):
             dim = cfg.embed_dims[i]
             patch = cfg.patch_size if i == 0 else 2
-            x, (h, w) = PatchEmbed(
-                patch_size=patch, embed_dim=dim, ln_eps=cfg.other_ln_eps,
-                dtype=dtype, name=f"patch_embed{i + 1}",
-            )(x)
+            if cfg.variant == "v2":
+                # PVT-v2 overlapping patch embed: k=7,s=4 then k=3,s=2
+                kernel = 7 if i == 0 else 3
+                x, (h, w) = OverlapPatchEmbed(
+                    patch_size=kernel, stride=patch, embed_dim=dim,
+                    ln_eps=cfg.other_ln_eps, dtype=dtype, name=f"patch_embed{i + 1}",
+                )(x)
+            else:
+                x, (h, w) = PatchEmbed(
+                    patch_size=patch, embed_dim=dim, ln_eps=cfg.other_ln_eps,
+                    dtype=dtype, name=f"patch_embed{i + 1}",
+                )(x)
 
             # per-stage text re-projection: Dense + LN (libs/pvlt.py:205-208)
             y = nn.Dense(dim, dtype=dtype, kernel_init=_trunc02, name=f"text_embed{i + 1}_dense")(y)
@@ -300,6 +389,8 @@ class PVLT(nn.Module):
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[cur + j]), ln_eps=cfg.block_ln_eps,
                     sr_ln_eps=cfg.other_ln_eps, use_pallas=cfg.use_pallas_attention,
+                    variant=cfg.variant,
+                    linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     dtype=dtype, name=f"block{i + 1}_{j}",
                 )(x, (h, w), t_num, deterministic=det)
             cur += cfg.depths[i]
@@ -367,6 +458,11 @@ MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
     "pvlt_small": dict(depths=(3, 4, 6, 3)),
     "pvlt_medium": dict(depths=(3, 4, 18, 3)),
     "pvlt_large": dict(depths=(3, 8, 27, 3)),
+    # PVT-v2 backbone variants (BASELINE.json stretch config): overlapping
+    # patch embed, DWConv MLP, optional linear SRA.
+    "pvlt_v2_tiny": dict(depths=(2, 2, 2, 2), variant="v2"),
+    "pvlt_v2_small": dict(depths=(3, 4, 6, 3), variant="v2"),
+    "pvlt_v2_linear_tiny": dict(depths=(2, 2, 2, 2), variant="v2", linear_sr=True),
 }
 
 
@@ -377,8 +473,9 @@ def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None) -> PVLT:
     if cfg.name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {cfg.name!r}; registry: {sorted(MODEL_REGISTRY)}")
     preset = MODEL_REGISTRY[cfg.name]
-    if tuple(cfg.depths) != tuple(preset["depths"]):
+    updates = {k: v for k, v in preset.items() if getattr(cfg, k) != v}
+    if updates:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, depths=tuple(preset["depths"]))
+        cfg = dataclasses.replace(cfg, **updates)
     return PVLT(cfg, axis_name=axis_name)

@@ -1,0 +1,98 @@
+"""LR schedule + checkpoint-policy tests."""
+
+import numpy as np
+import pytest
+
+from mvlt_tpu.config import OptimConfig
+from mvlt_tpu.train.schedule import make_lr_schedule, make_optimizer, scaled_base_lr
+
+
+def test_linear_lr_scaling():
+    """lr <- lr * global_batch / 512 (main_vl.py:306)."""
+    cfg = OptimConfig(lr=2.5e-4)
+    assert scaled_base_lr(cfg, 512) == pytest.approx(2.5e-4)
+    assert scaled_base_lr(cfg, 1024) == pytest.approx(5e-4)
+    assert scaled_base_lr(cfg, 150) == pytest.approx(2.5e-4 * 150 / 512)
+
+
+def test_schedule_shape():
+    cfg = OptimConfig(lr=2.5e-4, warmup_lr=1e-6, min_lr=1e-5,
+                      warmup_epochs=5, epochs=100)
+    steps_per_epoch = 10
+    sched = make_lr_schedule(cfg, 512, steps_per_epoch)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-3)
+    peak_step = 5 * steps_per_epoch
+    assert float(sched(peak_step)) == pytest.approx(2.5e-4, rel=1e-3)
+    # monotone decay after warmup
+    vals = [float(sched(s)) for s in range(peak_step, 100 * steps_per_epoch, 50)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert float(sched(100 * steps_per_epoch)) == pytest.approx(1e-5, rel=1e-2)
+
+
+def test_weight_decay_mask():
+    import jax.numpy as jnp
+    import optax
+
+    from mvlt_tpu.train.schedule import _decay_mask
+
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "ln": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+        "pos_embed1": jnp.ones((1, 8, 4)),
+    }
+    mask = _decay_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["ln"]["scale"] is False
+    assert mask["pos_embed1"] is True  # reference decays pos embeds (3-D)
+
+
+def test_checkpoint_policy(tmp_path):
+    """Two-phase policy (main_vl.py:441-498): every epoch for the first 2/3,
+    then best-quality-only updates to 'best'."""
+    import jax.numpy as jnp
+    import optax
+
+    from mvlt_tpu.train.state import TrainState
+    from mvlt_tpu.utils.checkpoint import CheckpointManager
+
+    tx = optax.sgd(1e-3)
+    params = {"w": jnp.ones((4,))}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    total = 9
+    # first 2/3 (epochs 0..5): always saved, no quality needed
+    assert ckpt.save_epoch(state, 0, total)
+    assert ckpt.save_epoch(state, 5, total)
+    # last third: saved as best only on improvement
+    assert ckpt.save_epoch(state.replace(step=state.step + 1), 6, total, quality_score=1.0)
+    assert not ckpt.save_epoch(state, 7, total, quality_score=0.5)  # worse
+    assert ckpt.save_epoch(state.replace(step=state.step + 3), 8, total, quality_score=2.0)
+
+    # restore 'best' -> the epoch-8 state (step 3)
+    restored, start_epoch = ckpt.restore(state, "best")
+    assert int(restored.step) == 3
+    assert start_epoch == 9
+
+    # restore 'last' -> epoch 8 regardless
+    restored, start_epoch = ckpt.restore(state, "last")
+    assert start_epoch == 9
+
+
+def test_checkpoint_restore_missing(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from mvlt_tpu.train.state import TrainState
+    from mvlt_tpu.utils.checkpoint import CheckpointManager
+
+    tx = optax.sgd(1e-3)
+    params = {"w": jnp.ones((4,))}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+    ckpt = CheckpointManager(str(tmp_path))
+    restored, epoch = ckpt.restore(state)
+    assert epoch == 0
+    assert restored is state
