@@ -275,6 +275,28 @@ class Block(nn.Module):
             hw, t_num, deterministic=deterministic,
         )
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
+
+        # Fused LN->MLP->residual Pallas kernel on the inference path: keeps
+        # the ratio-8 hidden activation in VMEM (mvlt_tpu/ops/fused_mlp.py).
+        # The unfused path always runs at init (creates the params) and in
+        # training (DropPath + autodiff).
+        use_fused = (
+            self.use_pallas and self.variant == "v1" and deterministic
+            and not self.drop and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
+
+            p = self.variables["params"]
+            return fused_ln_mlp(
+                x,
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                eps=self.ln_eps,
+            )
+
         normed = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         if self.variant == "v2":
             mlp_out = DWConvMlp(

@@ -3,23 +3,28 @@
 Shape regime (pvlt_tiny @ 256x256, SURVEY.md §3.2): the query sequence is the
 joint [H*W + T] stream (4224 / 1152 / 384 / 192 per stage) while the KV
 sequence after spatial reduction is tiny and *constant* per stage:
-(H/sr)(W/sr) + T = 64 + 128 = 192 everywhere.  So unlike a decoder flash
-attention, the whole K and V comfortably fit in VMEM and no online-softmax
-streaming is needed: each grid step loads one Q tile, computes
-softmax(Q K^T * scale) V in one pass — never materializing the [N, M]
-probability matrix in HBM, which is exactly what the unfused XLA lowering
-would spill for the 4224-token stage-1 sequence.
+(H/sr)(W/sr) + T = 64 + 128 = 192.  So unlike decoder flash attention the
+whole K and V fit in VMEM and no online-softmax streaming is needed.
 
-Layout: heads are folded into the grid's first axis; the head dim (64) is
-zero-padded to the 128-lane width once at the JAX level (cheap, fused) so the
-MXU tiles are fully populated on the KV side.
+Why fusion matters here: the unfused XLA lowering materializes the
+[B, heads, N, M] logits in HBM and walks it several times for the softmax —
+at stage 1 (B=404) that tensor is ~1.2 GB, and measured ablation shows
+stage-1 attention alone costing >50% of the forward pass.  This kernel keeps
+the logits entirely in VMEM.
 
-Fuses: scale * QK^T -> row-max -> exp -> row-sum -> (P V) / sum, accumulated
-in float32 (bf16-safe).
+Grid layout (the part that makes it fast): ONE grid step per (batch, q-tile)
+pair covering ALL heads — per-step work is hundreds of microseconds, so the
+fixed grid-step overhead amortizes.  An earlier revision used a step per
+(batch*heads) with small tiles and was *slower* than XLA (2704 vs 2867
+pairs/s end-to-end); this layout is chosen from that measurement.
 
-Equivalence to the reference split-downsample-concat attention
-(libs/pvlt.py:95-121) is asserted in tests/test_attention.py against the
-einsum path.
+Head loop is a static Python unroll inside the kernel; each head's
+QK^T -> mask -> softmax -> PV chain runs on MXU/VPU with float32
+accumulation.  The head dim (64) is zero-padded to the 128-lane width once
+at the JAX level.
+
+Equivalence vs the einsum path is asserted in tests/test_attention.py
+(interpret mode) and tools/tpu_attn_check.py (compiled, on-device).
 """
 
 from __future__ import annotations
@@ -31,99 +36,100 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# per-step VMEM budget for the fp32 logits scratch (bytes)
+_LOGITS_BUDGET = 6 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    """One (batch*head, q-tile) grid step.
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                 num_heads: int):
+    """One (batch, q-tile) grid step over all heads.
 
-    q_ref: [1, TILE_N, D]   k_ref/v_ref: [1, M_pad, D]   o_ref: [1, TILE_N, D]
+    q_ref/o_ref: [1, H, TILE_N, D]   k_ref/v_ref: [1, H, M_pad, D]
     """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-
-    logits = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits = logits * scale
-
-    m_pad = k.shape[0]
-    if kv_len < m_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < kv_len, logits, -jnp.inf)
-
-    row_max = jnp.max(logits, axis=-1, keepdims=True)
-    unnorm = jnp.exp(logits - row_max)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = (unnorm / denom).astype(v.dtype)
-
-    out = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
+    m_pad = k_ref.shape[2]
+    needs_mask = kv_len < m_pad
+    for h in range(num_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - row_max)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        probs = (unnorm / denom).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
-    """softmax(q k^T * scale) v with KV resident in VMEM.
+    """softmax(q k^T * scale) v with logits resident in VMEM.
 
     Args:
       q: [B, H, N, D]; k, v: [B, H, M, D].  M (SRA-reduced KV length) must be
-        small enough for K and V to fit VMEM (true for all PVLT stages).
+        small enough for K/V + one logits tile to fit VMEM (true for all
+        PVLT stages).
     Returns:
       [B, H, N, D] in q.dtype.
     """
     b, h, n, d = q.shape
     m = k.shape[2]
 
-    # Fold batch & heads into one grid axis; pad to hardware tiles.
     d_pad = _round_up(d, 128)
-    m_pad = _round_up(m, 128 if q.dtype != jnp.bfloat16 else 128)
-    tile_n = min(_round_up(n, 8), 1024)
+    m_pad = _round_up(m, 128)
+
+    # One q-tile per batch element when the fp32 logits for all heads fit
+    # the VMEM budget; otherwise split N.
+    max_tile = max(512, _LOGITS_BUDGET // (h * m_pad * 4))
+    tile_n = min(_round_up(n, 128), _round_up(max_tile, 128))
     n_pad = _round_up(n, tile_n)
 
-    qf = q.reshape(b * h, n, d)
-    kf = k.reshape(b * h, m, d)
-    vf = v.reshape(b * h, m, d)
     if d_pad != d:
-        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, d_pad - d)))
-        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, d_pad - d)))
-        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, d_pad - d)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
     if n_pad != n:
-        qf = jnp.pad(qf, ((0, 0), (0, n_pad - n), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     if m_pad != m:
-        kf = jnp.pad(kf, ((0, 0), (0, m_pad - m), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, m_pad - m), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
 
-    grid = (b * h, n_pad // tile_n)
+    grid = (b, n_pad // tile_n)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=m),
+        functools.partial(_attn_kernel, scale=scale, kv_len=m, num_heads=h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_n, d_pad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, d_pad), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * n * m * d * 2,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=b * h * n * m,
+            flops=4 * b * h * n * m_pad * d_pad,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
+            transcendentals=b * h * n * m_pad,
         ),
-    )(qf, kf, vf)
+    )(q, k, v)
 
-    out = out[:, :n, :d].reshape(b, h, n, d)
-    return out
+    return out[:, :, :n, :d]

@@ -1,0 +1,62 @@
+"""Fused LN-MLP kernel equivalence vs the unfused XLA path (interpret mode
+on CPU; the compiled on-device check lives in tools/tpu_attn_check.py's
+sibling tools/bench_fused_mlp.py)."""
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _run_interpret(fn, *args, **kwargs):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        return fn(*args, **kwargs)
+
+
+@pytest.mark.parametrize("n,d,ratio", [(96, 64, 8), (40, 320, 4)])
+def test_fused_ln_mlp_matches_xla(rng, n, d, ratio):
+    from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
+
+    h = d * ratio
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.05, jnp.float32)
+
+    def ref(x):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        nrm = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        hid = jax.nn.gelu(nrm @ w1 + b1, approximate=False)
+        return x + (hid @ w2 + b2)
+
+    want = ref(x)
+    got = _run_interpret(fused_ln_mlp.__wrapped__, x, g, be, w1, b1, w2, b2, eps=1e-6)
+    # the in-kernel erf is the A&S 7.1.26 polynomial (1.5e-7 abs err)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_erf_approximation_accuracy():
+    from mvlt_tpu.ops.fused_mlp import _erf
+
+    import scipy.special as sp
+
+    x = np.linspace(-6, 6, 10001).astype(np.float32)
+    got = np.asarray(_erf(jnp.asarray(x)))
+    want = sp.erf(x.astype(np.float64))
+    # 1.5e-7 formula error + fp32 evaluation rounding
+    assert np.abs(got - want).max() < 1e-6

@@ -1,0 +1,23 @@
+import time
+import jax, jax.numpy as jnp, numpy as np
+rng = np.random.default_rng(0)
+R = 404*4224
+w1 = jnp.asarray(rng.normal(size=(64, 512))*0.05, jnp.bfloat16)
+w2 = jnp.asarray(rng.normal(size=(512, 64))*0.05, jnp.bfloat16)
+x0 = jnp.asarray(rng.normal(size=(R, 64)), jnp.bfloat16)
+
+@jax.jit
+def mm(x):
+    h = jax.lax.dot_general(x, w1, (((1,),(0,)),((),())), preferred_element_type=jnp.bfloat16)
+    return jax.lax.dot_general(h, w2, (((1,),(0,)),((),())), preferred_element_type=jnp.bfloat16)
+
+mm(x0).block_until_ready()
+for trial in range(3):
+    t0 = time.perf_counter()
+    mm(x0).block_until_ready()
+    print(f"same-input call {trial}: {(time.perf_counter()-t0)*1000:.2f} ms", flush=True)
+x1 = jnp.asarray(rng.normal(size=(R, 64)), jnp.bfloat16)
+t0 = time.perf_counter(); mm(x1).block_until_ready()
+print(f"fresh-input call: {(time.perf_counter()-t0)*1000:.2f} ms", flush=True)
+t0 = time.perf_counter(); mm(x1).block_until_ready()
+print(f"repeat fresh-input: {(time.perf_counter()-t0)*1000:.2f} ms", flush=True)
