@@ -261,20 +261,92 @@ class Block(nn.Module):
     linear_sr: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
+        """Inference path: LN1 -> Q-proj -> attention -> out-proj -> +res as
+        one Pallas megakernel (mvlt_tpu/ops/block_attention.py).  The KV
+        path (LN1 -> SR conv -> LN -> KV proj) runs in XLA on the reduced
+        sequence, reading this module's own params directly."""
+        from mvlt_tpu.ops.block_attention import fused_block_attention
+
+        p = self.variables["params"]
+        h, w = hw
+        b, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        dtype = x.dtype
+
+        # LN1 in XLA (consumed only by the KV path; XLA fuses it forward)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        g1 = p["norm1"]["scale"].astype(jnp.float32)
+        b1 = p["norm1"]["bias"].astype(jnp.float32)
+        normed = ((xf - mu) * jax.lax.rsqrt(var + self.ln_eps) * g1 + b1).astype(dtype)
+
+        ap = p["attn"]
+        if self.sr_ratio > 1:
+            sr = self.sr_ratio
+            vis = normed[:, : h * w, :].reshape(b, h, w, c)
+            vis = jax.lax.conv_general_dilated(
+                vis, ap["sr"]["kernel"].astype(dtype),
+                window_strides=(sr, sr), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + ap["sr"]["bias"].astype(dtype)
+            vis = vis.reshape(b, (h // sr) * (w // sr), c)
+            vf = vis.astype(jnp.float32)
+            vmu = vf.mean(-1, keepdims=True)
+            vvar = vf.var(-1, keepdims=True)
+            vis = ((vf - vmu) * jax.lax.rsqrt(vvar + self.sr_ln_eps)
+                   * ap["norm"]["scale"].astype(jnp.float32)
+                   + ap["norm"]["bias"].astype(jnp.float32)).astype(dtype)
+            kv_in = jnp.concatenate([vis, normed[:, h * w :, :]], axis=1)
+        else:
+            kv_in = normed
+        kv = jnp.einsum("bmc,ck->bmk", kv_in, ap["kv"]["kernel"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+        if "bias" in ap["kv"]:
+            kv = kv + ap["kv"]["bias"].astype(jnp.float32)
+        m = kv_in.shape[1]
+        kv = kv.astype(dtype).reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        return fused_block_attention(
+            x, k, v,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            scale=hd ** -0.5, eps=self.ln_eps, num_heads=nh,
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int, *,
                  deterministic: bool = True) -> jnp.ndarray:
-        attn_out = JointSRAttention(
-            self.dim, self.num_heads, sr_ratio=self.sr_ratio,
-            qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
-            proj_drop=self.drop, ln_eps=self.sr_ln_eps,
-            use_pallas=self.use_pallas, linear_sr=self.linear_sr,
-            dtype=self.dtype, name="attn",
-        )(
-            nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
-            hw, t_num, deterministic=deterministic,
+        import os
+
+        # Megakernel A/B: the modular path (Pallas fused-attention +
+        # fused-LN-MLP, XLA projections) measured slightly faster than the
+        # full block-attention megakernel on v5e (3379 vs 3333 pairs/s), so
+        # modular is the default; set MVLT_BLOCK_ATTN_KERNEL=1 to flip.
+        fused_ok = (
+            self.use_pallas and self.variant == "v1" and not self.linear_sr
+            and deterministic and not self.drop and not self.attn_drop
+            and not self.is_initializing() and jax.default_backend() == "tpu"
+            and os.environ.get("MVLT_BLOCK_ATTN_KERNEL", "0") == "1"
         )
-        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
+        if fused_ok:
+            x = self._fused_attention_half(x, hw)
+        else:
+            attn_out = JointSRAttention(
+                self.dim, self.num_heads, sr_ratio=self.sr_ratio,
+                qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
+                proj_drop=self.drop, ln_eps=self.sr_ln_eps,
+                use_pallas=self.use_pallas, linear_sr=self.linear_sr,
+                dtype=self.dtype, name="attn",
+            )(
+                nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
+                hw, t_num, deterministic=deterministic,
+            )
+            x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
 
         # Fused LN->MLP->residual Pallas kernel on the inference path: keeps
         # the ratio-8 hidden activation in VMEM (mvlt_tpu/ops/fused_mlp.py).
