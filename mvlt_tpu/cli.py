@@ -47,6 +47,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--tp-size", type=int, default=1)
     p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--fp32", action="store_true",
+                   help="float32 compute (the reference's --fp32/no-AMP switch)")
     p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
@@ -74,6 +76,8 @@ def build_run_config(args) -> RunConfig:
     cfg = apply_overrides(cfg, overrides)
     if args.synthetic_data:
         cfg = apply_overrides(cfg, {"data": {"synthetic": True}})
+    if args.fp32:
+        cfg = apply_overrides(cfg, {"model": {"compute_dtype": "float32"}})
     if args.tp_size != 1:
         cfg = apply_overrides(cfg, {"tp_size": args.tp_size})
     return cfg
@@ -165,8 +169,10 @@ def main(argv=None) -> None:
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,
                              seed=cfg.seed + 10_000)
+    # eval keeps every sample (drop_last=False -> ragged final batch), so it
+    # skips mesh sharding; the jitted eval fn runs on the default device.
     valid_loader = DataLoader(valid_ds, SequentialSampler(len(valid_ds)),
-                              global_batch, put_fn=put, drop_last=False)
+                              global_batch, put_fn=None, drop_last=False)
 
     if args.eval:
         variables = {"params": state.params}

@@ -83,6 +83,10 @@ class ModelConfig:
     # TPU execution policy
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     use_pallas_attention: bool = True
+    remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
+    # training computes the MLM CE in row chunks of this size instead of
+    # materializing [B, T, vocab] logits (0 disables; eval always decodes)
+    mlm_loss_chunk: int = 2048
 
     @property
     def num_stages(self) -> int:

@@ -57,10 +57,19 @@ class MLMHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, embedding_table: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, T, hidden]; embedding_table: [vocab, hidden] -> [B, T, vocab]."""
+    def __call__(self, x: jnp.ndarray, embedding_table: jnp.ndarray,
+                 decode: bool = True):
+        """x: [B, T, hidden]; embedding_table: [vocab, hidden] -> [B, T, vocab].
+
+        With decode=False, returns (transformed_hidden, bias) instead of
+        logits — the training step then computes the MLM loss in vocab
+        chunks without materializing the full logits tensor
+        (mvlt_tpu/train/losses.py:chunked_mlm_loss).
+        """
         x = BertHeadTransform(self.hidden_size, dtype=self.dtype, name="transform")(x)
         bias = self.param("bias", nn.initializers.zeros, (self.vocab_size,), jnp.float32)
+        if not decode:
+            return x, bias
         logits = jnp.einsum(
             "btd,vd->btv", x, embedding_table.astype(x.dtype),
             preferred_element_type=jnp.float32,

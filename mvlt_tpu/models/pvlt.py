@@ -182,7 +182,10 @@ class JointSRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        out = multi_head_attention(q, k, v, scale=scale, use_pallas=self.use_pallas)
+        # Pallas kernel has no VJP yet: use it on the inference path only;
+        # training differentiates through the XLA lowering.
+        out = multi_head_attention(q, k, v, scale=scale,
+                                   use_pallas=self.use_pallas and deterministic)
         if self.attn_drop:
             # attention-prob dropout is fused away in the Pallas path; the
             # shipped configs never enable it (attn_drop_rate defaults to 0).
@@ -319,8 +322,10 @@ class Block(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int, *,
+    def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int,
                  deterministic: bool = True) -> jnp.ndarray:
+        # NOTE: deterministic is positional (not keyword-only) so nn.remat
+        # can mark it static (static_argnums in PVLT's stage loop).
         import os
 
         # Megakernel A/B: the modular path (Pallas fused-attention +
@@ -476,8 +481,15 @@ class PVLT(nn.Module):
             if cfg.drop_rate:
                 x = nn.Dropout(rate=cfg.drop_rate)(x, deterministic=det)
 
+            block_cls = Block
+            if cfg.remat:
+                # rematerialize block activations in the backward pass
+                # (trades FLOPs for HBM; the TPU analogue of the reference's
+                # absent gradient checkpointing — enables pvlt_large at
+                # full batch).  static: hw, t_num, deterministic (self is 0).
+                block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
             for j in range(cfg.depths[i]):
-                x = Block(
+                x = block_cls(
                     dim=dim, num_heads=cfg.num_heads[i], mlp_ratio=cfg.mlp_ratios[i],
                     sr_ratio=cfg.sr_ratios[i], qkv_bias=cfg.qkv_bias,
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
@@ -486,7 +498,7 @@ class PVLT(nn.Module):
                     variant=cfg.variant,
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     dtype=dtype, name=f"block{i + 1}_{j}",
-                )(x, (h, w), t_num, deterministic=det)
+                )(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
             x, y = x[:, : h * w, :], x[:, h * w :, :]
@@ -508,10 +520,19 @@ class PVLT(nn.Module):
         if lt.mlm:
             mlm_feat = adapter("mlm_head_embed", last_text)
             table = self.variables["params"]["text_embeddings"]["word_embeddings"]["embedding"]
-            logits["mlm_logits"] = MLMHead(
+            decode = not (train and cfg.mlm_loss_chunk > 0)
+            head = MLMHead(
                 vocab_size=cfg.vocab_size, hidden_size=cfg.token_hidden_size,
                 dtype=dtype, name="mlm_head",
-            )(mlm_feat, table)
+            )
+            if decode:
+                logits["mlm_logits"] = head(mlm_feat, table)
+            else:
+                hidden, bias = head(mlm_feat, table, decode=False)
+                logits["mlm_logits"] = None
+                logits["mlm_hidden"] = hidden
+                logits["mlm_table"] = table
+                logits["mlm_bias"] = bias
         else:
             logits["mlm_logits"] = None
 

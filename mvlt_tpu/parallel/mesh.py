@@ -31,13 +31,42 @@ MODEL_AXIS = "model"
 
 def maybe_init_distributed() -> None:
     """Multi-host bring-up: the TPU equivalent of the reference's
-    init_distributed_mode (libs/utils.py:218-254).  No-op when single-host
-    or already initialized."""
-    if os.environ.get("MVLT_MULTIHOST", "0") == "1":
+    init_distributed_mode / init_distributed_mode_on_pai rank discovery
+    (libs/utils.py:189-254).  Supports:
+      * MVLT_MULTIHOST=1 with TPU auto-discovery (GCE metadata), or
+      * explicit env rank discovery (COORDINATOR_ADDRESS / NUM_PROCESSES /
+        PROCESS_ID — the moral analogue of RANK/WORLD_SIZE/MASTER_ADDR).
+    No-op when single-host or already initialized.
+    """
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    if coord:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
+        except (RuntimeError, ValueError, KeyError):
+            pass
+    elif os.environ.get("MVLT_MULTIHOST", "0") == "1":
         try:
             jax.distributed.initialize()
         except (RuntimeError, ValueError):
             pass  # already initialized or single-process
+
+
+def make_hybrid_mesh(tp_size: int = 1) -> Mesh:
+    """Multi-slice mesh: the data axis spans slices over DCN while the
+    model axis stays inside a slice on ICI (megatron-style weights must
+    never cross the slow link).  Uses mesh_utils.create_hybrid_device_mesh
+    with one data group per slice."""
+    n_slices = max(1, getattr(jax.devices()[0], "num_slices", 1))
+    per_slice = len(jax.devices()) // n_slices
+    mesh_devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // tp_size, tp_size),
+        dcn_mesh_shape=(n_slices, 1),
+    )
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
 
 
 def make_mesh(dp_size: int = -1, tp_size: int = 1,

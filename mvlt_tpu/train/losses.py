@@ -52,6 +52,48 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.
     return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta).mean()
 
 
+def chunked_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
+                     labels: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+    """MLM cross entropy without materializing the [B*T, vocab] logits.
+
+    The full-vocab logits tensor is the HBM hog of the training step
+    ([150,128,30522] fp32 ≈ 2.3 GB + its gradient — OOMs a 16 GB v5e chip).
+    Instead, scan over row chunks of the transformed hidden states,
+    recomputing each chunk's logits in the backward pass (jax.checkpoint),
+    so peak memory is one [chunk, vocab] tile.
+
+    hidden: [B, T, H] (output of BertHeadTransform); table: [vocab, H]
+    (tied word embeddings); bias: [vocab]; labels: [B, T] with -1 ignore.
+    Returns the same scalar as cross_entropy(logits, labels, ignore_index=-1).
+    """
+    h = hidden.shape[-1]
+    rows = hidden.reshape(-1, h)
+    labs = labels.reshape(-1)
+    n = rows.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        labs = jnp.pad(labs, (0, pad), constant_values=MLM_IGNORE_INDEX)
+    rows = rows.reshape(-1, chunk, h)
+    labs = labs.reshape(-1, chunk)
+
+    @jax.checkpoint
+    def chunk_fn(carry, xs):
+        r, l = xs
+        logits = jnp.einsum("ch,vh->cv", r, table.astype(r.dtype),
+                            preferred_element_type=jnp.float32) + bias
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = l != MLM_IGNORE_INDEX
+        safe = jnp.where(valid, l, 0)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        s, c = carry
+        return (s + jnp.where(valid, nll, 0.0).sum(), c + valid.sum()), None
+
+    (total, count), _ = jax.lax.scan(chunk_fn, (jnp.float32(0.0), jnp.int32(0)),
+                                     (rows, labs))
+    return total / jnp.maximum(count, 1)
+
+
 def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
                    num_super: int = 48, num_sub: int = 122) -> Dict[str, jnp.ndarray]:
     """All enabled objectives for one step.
@@ -72,6 +114,12 @@ def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
             batch["mlm_labels"].reshape(-1),
             ignore_index=MLM_IGNORE_INDEX,
         )
+        losses["loss_mlm"] = l
+        total = total + l
+    elif outputs.get("mlm_hidden") is not None:
+        l = MLM_LOSS_WEIGHT * chunked_mlm_loss(
+            outputs["mlm_hidden"], outputs["mlm_table"], outputs["mlm_bias"],
+            batch["mlm_labels"])
         losses["loss_mlm"] = l
         total = total + l
 

@@ -152,3 +152,41 @@ def test_cls_only_finetune_step(setup):
     assert float(losses["loss_sup_cls"]) > 0
     assert float(losses["loss_t2i"]) == 0
     assert float(losses["loss_mlm"]) == 0
+
+
+def test_chunked_mlm_loss_matches_dense(rng):
+    """chunked_mlm_loss == cross_entropy over the materialized logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvlt_tpu.train.losses import chunked_mlm_loss, cross_entropy
+
+    bsz, t, h, vocab = 3, 10, 16, 50
+    hidden = jnp.asarray(rng.normal(size=(bsz, t, h)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(vocab, h)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(vocab,)), jnp.float32)
+    labels = jnp.asarray(np.where(rng.random((bsz, t)) < 0.3,
+                                  rng.integers(0, vocab, (bsz, t)), -1), jnp.int32)
+    logits = jnp.einsum("bth,vh->btv", hidden, table) + bias
+    want = cross_entropy(logits.reshape(-1, vocab), labels.reshape(-1), ignore_index=-1)
+    got = chunked_mlm_loss(hidden, table, bias, labels, chunk=8)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # differentiable (checkpointed scan)
+    g = jax.grad(lambda hh: chunked_mlm_loss(hh, table, bias, labels, chunk=8))(hidden)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_train_forward_skips_mlm_decode(setup):
+    """With mlm_loss_chunk set, the training forward exposes mlm_hidden and
+    no full-vocab logits (the eval forward still decodes)."""
+    cfg, model, state = setup
+    batch = make_batch(np.random.default_rng(5))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out, _ = model.apply(variables, jnp.asarray(batch["images"]),
+                         jnp.asarray(batch["input_ids"]), train=True,
+                         mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
+    assert out["mlm_logits"] is None
+    assert out["mlm_hidden"].shape == (B, T, cfg.token_hidden_size)
+    out_eval = model.apply(variables, jnp.asarray(batch["images"]),
+                           jnp.asarray(batch["input_ids"]), train=False)
+    assert out_eval["mlm_logits"].shape == (B, T, cfg.vocab_size)
