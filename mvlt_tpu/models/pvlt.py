@@ -182,10 +182,7 @@ class JointSRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        # Pallas kernel has no VJP yet: use it on the inference path only;
-        # training differentiates through the XLA lowering.
-        out = multi_head_attention(q, k, v, scale=scale,
-                                   use_pallas=self.use_pallas and deterministic)
+        out = multi_head_attention(q, k, v, scale=scale, use_pallas=self.use_pallas)
         if self.attn_drop:
             # attention-prob dropout is fused away in the Pallas path; the
             # shipped configs never enable it (attn_drop_rate defaults to 0).

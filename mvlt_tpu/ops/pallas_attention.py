@@ -76,9 +76,119 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, kv_len: int, num_heads: int):
+    """Backward grid step: recompute P, then
+    dV += P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P))*scale;
+    dQ = dS K;  dK += dS^T Q.
+    dk/dv blocks revisit the same output slot across q-tiles (sequential
+    grid) and are initialized at the first tile.
+    """
+    j = pl.program_id(1)
+    m_pad = k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    for h in range(num_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if kv_len < m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - row_max)
+        p = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)  # fp32 [tile, m]
+
+        pb = p.astype(q.dtype)
+        dob = do.astype(q.dtype)
+        dv_ref[0, h] += jax.lax.dot_general(
+            pb, dob, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            dob, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tmp = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - tmp) * scale).astype(q.dtype)
+        dq_ref[0, h] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, h] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_vjp(q, k, v, scale):
+    return _fused_attention_impl(q, k, v, scale=scale)
+
+
+def _fused_attention_fwd(q, k, v, scale):
+    return _fused_attention_impl(q, k, v, scale=scale), (q, k, v)
+
+
+def _fused_attention_bwd(scale, res, do):
+    q, k, v = res
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    d_pad = _round_up(d, 128)
+    m_pad = _round_up(m, 128)
+    max_tile = max(512, _LOGITS_BUDGET // (h * m_pad * 4))
+    tile_n = min(_round_up(n, 128), _round_up(max_tile, 128))
+    n_pad = _round_up(n, tile_n)
+
+    def pad4(x, n_target):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_target - x.shape[2]),
+                        (0, d_pad - x.shape[3])))
+        return x
+
+    qp = pad4(q, n_pad)
+    dop = pad4(do, n_pad)
+    kp = pad4(k, m_pad)
+    vp = pad4(v, m_pad)
+
+    grid = (b, n_pad // tile_n)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, kv_len=m, num_heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, d_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, m_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, h, m_pad, d_pad), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, dop)
+    return dq[:, :, :n, :d], dk[:, :, :m, :d], dv[:, :, :m, :d]
+
+
+fused_attention_vjp.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
-    """softmax(q k^T * scale) v with logits resident in VMEM.
+    """softmax(q k^T * scale) v with logits resident in VMEM; differentiable
+    (custom VJP recomputes the probabilities in a backward Pallas kernel).
 
     Args:
       q: [B, H, N, D]; k, v: [B, H, M, D].  M (SRA-reduced KV length) must be
@@ -87,6 +197,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -
     Returns:
       [B, H, N, D] in q.dtype.
     """
+    return fused_attention_vjp(q, k, v, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _fused_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
     b, h, n, d = q.shape
     m = k.shape[2]
 

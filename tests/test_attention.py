@@ -123,3 +123,77 @@ def test_sra_attention_module_matches_manual(rng):
     want = out @ np.asarray(p["proj"]["kernel"]) + np.asarray(p["proj"]["bias"])
 
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_grad_matches_xla(rng):
+    """Custom-VJP backward kernel vs jax.grad through the einsum path."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    b, h, n, m, d = 1, 2, 64, 24, 16
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    scale = d ** -0.5
+    cotangent = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v, scale) * cotangent)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        from mvlt_tpu.ops.pallas_attention import fused_attention_vjp
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_attention_vjp(q, k, v, scale) * cotangent)
+
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+
+    for g_got, g_want, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_fused_attention_grad_multi_tile(rng):
+    """dk/dv accumulation across multiple q-tiles (forces n_tiles > 1 by
+    patching the logits budget)."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+    from mvlt_tpu.ops import pallas_attention
+
+    b, h, n, m, d = 1, 1, 512, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v, 0.3) * cot)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched), \
+         mock.patch.object(pallas_attention, "_LOGITS_BUDGET", 128 * 128 * 4):
+        def loss_fused(q, k, v):
+            return jnp.sum(pallas_attention.fused_attention_vjp(q, k, v, 0.3) * cot)
+
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+
+    for g_got, g_want, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
