@@ -116,6 +116,12 @@ def main(argv=None) -> None:
         from mvlt_tpu.data.fashion_gen import FashionGenRecognition
         from mvlt_tpu.eval.recognition import evaluate_recognition, make_cls_scorer
 
+        if not cfg.model.loss_type.cls:
+            # recognition needs the CLS heads regardless of the config's
+            # pre-training loss_type (the reference runs this with the
+            # fine-tune config, downstream_recognition.sh)
+            cfg = apply_overrides(cfg, {"loss_type": {"cls": 1}})
+            model = create_model(cfg.model)
         variables = _load_eval_variables(model, cfg, rng)
         dataset = FashionGenRecognition(cfg.data.data_path, cfg.data)
         scorer = make_cls_scorer(model, variables)

