@@ -282,6 +282,57 @@ def export_state_dict(params, batch_stats=None) -> Dict[str, np.ndarray]:
     return out
 
 
+def main(argv=None) -> None:
+    """CLI: convert a reference .pth checkpoint into an Orbax checkpoint.
+
+    Usage: python -m mvlt_tpu.convert.torch_to_jax ckpt.pth out_dir \
+               [--model pvlt_tiny] [--cls] [--strict]
+    """
+    import argparse
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser("torch->jax converter")
+    p.add_argument("pth")
+    p.add_argument("out_dir")
+    p.add_argument("--model", default="pvlt_tiny")
+    p.add_argument("--no-mlm", action="store_true")
+    p.add_argument("--no-itm", action="store_true")
+    p.add_argument("--no-t2i", action="store_true")
+    p.add_argument("--cls", action="store_true")
+    p.add_argument("--strict", action="store_true",
+                   help="error on shape mismatches instead of skipping")
+    args = p.parse_args(argv)
+
+    from mvlt_tpu.config import LossType, ModelConfig
+    from mvlt_tpu.models import create_model
+
+    cfg = ModelConfig(name=args.model, loss_type=LossType(
+        itm=not args.no_itm, mlm=not args.no_mlm, t2i=not args.no_t2i,
+        cls=args.cls))
+    model = create_model(cfg)
+    imgs = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    ids = jnp.zeros((1, cfg.num_text_tokens), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, ids)
+
+    sd = _load_torch_state_dict(args.pth)
+    params, batch_stats, report = convert_state_dict(
+        sd, variables["params"], variables.get("batch_stats", {}),
+        strict_shapes=args.strict)
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(args.out_dir, "checkpoint", "last"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"step": 0, "params": params,
+                      "batch_stats": batch_stats, "opt_state": {}}, force=True)
+    ckptr.wait_until_finished()
+    print(f"saved converted checkpoint to {path} "
+          f"({len(report['loaded'])} tensors)")
+
+
 def load_finetune_params(path: str, params_template):
     """Finetune init: .pth (converted) or orbax checkpoint params."""
     if path.endswith(".pth"):
@@ -294,3 +345,7 @@ def load_finetune_params(path: str, params_template):
         os.path.abspath(path),
         {"step": 0, "params": params_template, "batch_stats": {}, "opt_state": {}})
     return restored["params"]
+
+
+if __name__ == "__main__":
+    main()
