@@ -107,6 +107,9 @@ class DataConfig:
     mask_patch_size: int = 16
     vocab_file: str = "preweights/bert-base-uncased-vocab.txt"
     repeated_aug: int = 3          # RASampler x3 repeat (samplers.py:8-59)
+    # use the C++ crop/resize kernel for training images (~16% faster host
+    # path; eval keeps the exact-PIL path for bit-parity with the reference)
+    use_native_image_ops: bool = False
     num_workers: int = 4
     prefetch_depth: int = 2
     synthetic: bool = False        # synthetic data for benchmarking/tests

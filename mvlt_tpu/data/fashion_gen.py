@@ -131,7 +131,16 @@ class FashionGenPretrain:
         text_dict = _load_pickle(self.text_dicts[text_idx])
 
         # --- image + mask ----------------------------------------------------
-        image = load_image(self.images[index], cfg.input_size)
+        image = None
+        if self.split == "train" and cfg.use_native_image_ops:
+            from mvlt_tpu.data.native import native_crop_resize
+            from PIL import Image as PILImage
+
+            with open(self.images[index], "rb") as f:
+                decoded = np.asarray(PILImage.open(f).convert("RGB"))
+            image = native_crop_resize(decoded, cfg.input_size, crop=True)
+        if image is None:
+            image = load_image(self.images[index], cfg.input_size)
         img_mask = self._make_mask(rng, index)
         masked_images = apply_mask(image, img_mask)
 
