@@ -27,9 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_A100_PAIRS_PER_SEC = 800.0
-BATCH = 404            # 4 retrieval bundles of 101
+BATCH = 101            # one retrieval bundle — the protocol's serving unit,
+                       # and the fastest batch on v5e (batch sweep in
+                       # tools/bench_sweep2.py: 101 > 202 > 404 > 808)
 WARMUP = 3
-ITERS = 20
+ITERS = 40
 
 
 def main() -> None:

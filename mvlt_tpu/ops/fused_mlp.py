@@ -139,6 +139,9 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad // tile, tile, d_pad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d_pad * h_pad,
             bytes_accessed=2 * rows * d_pad * x.dtype.itemsize,

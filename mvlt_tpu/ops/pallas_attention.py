@@ -240,6 +240,9 @@ def _fused_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: fl
         out_specs=pl.BlockSpec((1, h, tile_n, d_pad), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * m_pad * d_pad,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
