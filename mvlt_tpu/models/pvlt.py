@@ -409,6 +409,11 @@ class PVLT(nn.Module):
 
     cfg: ModelConfig
     axis_name: Optional[str] = None   # mesh axis for cross-replica BatchNorm
+    # sequence parallelism (SURVEY.md §2c stretch): when set, the joint
+    # [B, N, C] token stream is sharded over the mesh's model axis between
+    # blocks — Q rows are independent given the replicated SRA KV, so long
+    # visual sequences (high-res inputs) split across chips.
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, input_ids: jnp.ndarray, *,
@@ -477,6 +482,10 @@ class PVLT(nn.Module):
             x = jnp.concatenate([x + pos_embed, y + text_pos_embed.astype(dtype)], axis=1)
             if cfg.drop_rate:
                 x = nn.Dropout(rate=cfg.drop_rate)(x, deterministic=det)
+            if self.sp_mesh is not None:
+                from mvlt_tpu.parallel.sharding import sequence_sharding_constraint
+
+                x = sequence_sharding_constraint(x, self.sp_mesh)
 
             block_cls = Block
             if cfg.remat:
@@ -578,7 +587,8 @@ MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
 }
 
 
-def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None) -> PVLT:
+def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None,
+                 sp_mesh: Optional[Any] = None) -> PVLT:
     """Instantiate a PVLT from a ModelConfig, applying the registry preset
     for cfg.name (all presets share dims/heads/mlp-ratios; only depths vary,
     libs/pvlt.py:416-483)."""
@@ -590,4 +600,4 @@ def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None) -> PVLT:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, **updates)
-    return PVLT(cfg, axis_name=axis_name)
+    return PVLT(cfg, axis_name=axis_name, sp_mesh=sp_mesh)

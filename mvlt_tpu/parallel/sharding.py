@@ -17,12 +17,18 @@ TP rules (column/row pairs so activations stay sharded between them):
 
 Rules silently fall back to replication when a dim is not divisible by the
 model-axis size, so tp_size=1 (pure DP) is always valid.
+
+Sequence parallelism (the CP/SP stretch axis, SURVEY.md §2c): PVLT's SRA
+attention is row-parallel in the query/token dim once the (tiny) KV is
+replicated, so SP is expressed as an activation sharding constraint on the
+joint token axis — see mvlt_tpu/models/pvlt.py (ModelConfig.sequence_parallel)
+and sequence_sharding_constraint below.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -54,7 +60,7 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def _spec_for(path_str: str, leaf) -> P:
+def _spec_for(path_str: str, leaf, axis_sizes: Dict[str, int]) -> P:
     ndim = getattr(leaf, "ndim", 0)
     if ndim == 0:
         return P()
@@ -63,25 +69,25 @@ def _spec_for(path_str: str, leaf) -> P:
             spec = builder(ndim)
             # divisibility guard: fall back to replication
             for dim, axis in zip(leaf.shape, spec):
-                if axis is not None and dim % _axis_size.get(axis, 1):
+                if axis is not None and dim % axis_sizes.get(axis, 1):
                     return P()
             return spec
     return P()
 
 
-_axis_size: dict = {}
+def _tree_shardings(mesh: Mesh, tree: Any) -> Any:
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def f(path, leaf):
+        return NamedSharding(mesh, _spec_for(_path_str(path), leaf, axis_sizes))
+
+    return jax.tree_util.tree_map_with_path(f, tree)
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """Pytree of NamedShardings matching ``params`` (works for any pytree
     whose leaf paths end in param names — params, or optax mu/nu)."""
-    global _axis_size
-    _axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))
-
-    def f(path, leaf):
-        return NamedSharding(mesh, _spec_for(_path_str(path), leaf))
-
-    return jax.tree_util.tree_map_with_path(f, params)
+    return _tree_shardings(mesh, params)
 
 
 def state_shardings(mesh: Mesh, state: Any) -> Any:
@@ -90,13 +96,7 @@ def state_shardings(mesh: Mesh, state: Any) -> Any:
     Optimizer moments (mu/nu) mirror the param tree, so the same path rules
     apply — their leaf paths contain the param path as a suffix.
     """
-    global _axis_size
-    _axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))
-
-    def f(path, leaf):
-        return NamedSharding(mesh, _spec_for(_path_str(path), leaf))
-
-    return jax.tree_util.tree_map_with_path(f, state)
+    return _tree_shardings(mesh, state)
 
 
 def batch_sharding(mesh: Mesh, batch: Any) -> Any:
@@ -114,3 +114,17 @@ def batch_sharding(mesh: Mesh, batch: Any) -> Any:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """device_put a host batch with data-parallel sharding."""
     return jax.device_put(batch, batch_sharding(mesh, batch))
+
+
+def sequence_sharding_constraint(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Sequence-parallel constraint for [B, N, C] activations: tokens over
+    the model axis (batch stays on data).  A no-op when the model axis is
+    trivial or N doesn't divide.  SRA attention tolerates this because Q
+    rows are independent given the replicated (SRA-reduced) KV; GSPMD
+    inserts the gathers for the KV path, and LayerNorm reductions stay
+    local (they reduce over C, which is unsharded in SP regions)."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    if model_size <= 1 or x.ndim != 3 or x.shape[1] % model_size:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None)))
