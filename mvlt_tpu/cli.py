@@ -249,10 +249,15 @@ def _load_eval_variables(model, cfg: RunConfig, rng):
         else:
             import orbax.checkpoint as ocp
 
-            template = {"step": 0, "params": variables["params"],
-                        "batch_stats": variables.get("batch_stats", {}),
-                        "opt_state": None}
-            restored = ocp.StandardCheckpointer().restore(os.path.abspath(cfg.resume), template)
+            path = os.path.abspath(cfg.resume)
+            if os.path.isdir(os.path.join(path)) and not os.path.exists(
+                    os.path.join(path, "_METADATA")):
+                # allow pointing at an output dir or a ckpt root
+                for cand in ("checkpoint/best", "checkpoint/last", "last", "best"):
+                    if os.path.exists(os.path.join(path, cand, "_METADATA")):
+                        path = os.path.join(path, cand)
+                        break
+            restored = ocp.StandardCheckpointer().restore(path)  # no template
             variables = {"params": restored["params"]}
             if restored.get("batch_stats"):
                 variables["batch_stats"] = restored["batch_stats"]

@@ -39,3 +39,16 @@ def test_eval_mode(run_dir):
 
     main(["--config", "configs/test_micro.py", "--synthetic-data",
           "--output-dir", run_dir, "--eval"])
+
+
+def test_eval_with_resumed_checkpoint(run_dir):
+    """Train briefly, then run each eval dispatch from the saved orbax
+    checkpoint (exercises the template-free restore path)."""
+    from mvlt_tpu.cli import main
+
+    argv = ["--config", "configs/test_micro.py", "--synthetic-data",
+            "--output-dir", run_dir, "--epochs", "1"]
+    main(argv)
+    ckpt = os.path.join(run_dir, "checkpoint", "last")
+    main(["--config", "configs/test_micro.py", "--synthetic-data",
+          "--output-dir", run_dir, "--resume", ckpt, "--eval"])
