@@ -49,6 +49,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--fp32", action="store_true",
                    help="float32 compute (the reference's --fp32/no-AMP switch)")
+    p.add_argument("--device-masks", action="store_true",
+                   help="generate grid masks on device (halves image H2D traffic)")
     p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
@@ -170,7 +172,10 @@ def main(argv=None) -> None:
     loader = DataLoader(train_ds, sampler, global_batch, put_fn=put,
                         num_workers=cfg.data.num_workers,
                         prefetch_depth=cfg.data.prefetch_depth)
-    train_step = make_train_step(model, cfg.model)
+    train_step = make_train_step(
+        model, cfg.model,
+        device_masks=args.device_masks and cfg.data.mask_strategy == "random_grid",
+        mask_ratio=cfg.data.mask_ratio, mask_patch_size=cfg.data.mask_patch_size)
     eval_fn = make_vl_eval_fn(model, cfg.model)
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,

@@ -31,9 +31,18 @@ from mvlt_tpu.train.losses import compute_losses
 from mvlt_tpu.train.state import TrainState
 
 
-def make_train_step(model, cfg: ModelConfig,
-                    donate: bool = True) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
-    """Build the jitted pre-training/fine-tuning step."""
+def make_train_step(model, cfg: ModelConfig, donate: bool = True,
+                    device_masks: bool = False, mask_ratio: float = 0.5,
+                    mask_patch_size: int = 16) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted pre-training/fine-tuning step.
+
+    device_masks=True generates the grid masks ON DEVICE and applies the
+    1e-6 fill inside the step (mvlt_tpu/data/masks.py:device_grid_masks) —
+    the host batch then needs no ``masked_images`` tensor, halving image
+    H2D traffic.  Metric-equivalent for training (train masks are random
+    either way; validation keeps the precomputed host masks for
+    reproducibility, mcloader/fashion_gen.py:170-174).
+    """
 
     use_masked_input = cfg.loss_type.t2i  # reference alternation only matters when t2i on
 
@@ -42,12 +51,19 @@ def make_train_step(model, cfg: ModelConfig,
         step_rng = jax.random.fold_in(rng, state.step)
 
         if use_masked_input:
+            images = batch["images"].astype(jnp.float32)
+            if device_masks:
+                from mvlt_tpu.data.masks import device_apply_mask, device_grid_masks
+
+                mask_rng = jax.random.fold_in(step_rng, 1)
+                masks = device_grid_masks(
+                    mask_rng, images.shape[0], images.shape[1],
+                    mask_ratio, mask_patch_size)
+                masked = device_apply_mask(images, masks)
+            else:
+                masked = batch["masked_images"].astype(jnp.float32)
             is_odd = (state.step % 2 == 1)
-            images_in = jnp.where(
-                is_odd,
-                batch["masked_images"].astype(jnp.float32),
-                batch["images"].astype(jnp.float32),
-            )
+            images_in = jnp.where(is_odd, masked, images)
         else:
             images_in = batch["images"].astype(jnp.float32)
 

@@ -190,3 +190,17 @@ def test_train_forward_skips_mlm_decode(setup):
     out_eval = model.apply(variables, jnp.asarray(batch["images"]),
                            jnp.asarray(batch["input_ids"]), train=False)
     assert out_eval["mlm_logits"].shape == (B, T, cfg.vocab_size)
+
+
+def test_device_masks_step(setup):
+    """device_masks=True runs without masked_images in the batch and the
+    odd-step t2i loss reflects on-device masking."""
+    cfg, model, state = setup
+    step = make_train_step(model, cfg, donate=False, device_masks=True,
+                           mask_ratio=0.5, mask_patch_size=16)
+    batch = make_batch(np.random.default_rng(7))
+    del batch["masked_images"]
+    state_odd = state.replace(step=state.step + 1)
+    _, losses = step(state_odd, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert float(losses["loss_t2i"]) > 0
