@@ -26,6 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeated bench runs skip the ~3 min TPU compile
+import os as _os
+
+_os.makedirs("/tmp/jax_cache_tpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_A100_PAIRS_PER_SEC = 800.0
 BATCH = 101            # one retrieval bundle — the protocol's serving unit,
                        # and the fastest batch on v5e (batch sweep in

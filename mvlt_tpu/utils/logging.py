@@ -38,6 +38,20 @@ class SmoothedValue:
         self.count += n
         self.total += value * n
 
+    def synchronize_between_processes(self) -> None:
+        """Reduce [count, total] across hosts (libs/utils.py:36-47 did this
+        with a dist.all_reduce; here jax multihost allgather + sum).  No-op
+        in single-process runs."""
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            np.asarray([self.count, self.total], np.float64))
+        summed = np.asarray(gathered).reshape(-1, 2).sum(axis=0)
+        self.count = int(summed[0])
+        self.total = float(summed[1])
+
     @property
     def median(self) -> float:
         return float(np.median(self.window)) if self.window else 0.0
@@ -97,6 +111,10 @@ class MetricLogger:
 
     def global_averages(self) -> Dict[str, float]:
         return {k: m.global_avg for k, m in self.meters.items()}
+
+    def synchronize_between_processes(self) -> None:
+        for m in self.meters.values():
+            m.synchronize_between_processes()
 
     def log_every(self, iterable: Iterable, print_freq: int,
                   header: str = "") -> Iterator:
