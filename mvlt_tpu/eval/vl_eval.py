@@ -94,6 +94,7 @@ def evaluate_vl(eval_batch_fn: Callable, variables, loader: Iterable,
         if mse is not None:
             p = 100.0 if mse == 0 else 20 * math.log10(255.0 / math.sqrt(float(mse)))
             logger.meters["t2i_psnr"].update(p, n=b)
+    logger.synchronize_between_processes()
     stats = logger.global_averages()
     stats["quality_score"] = sum(
         stats.get(k, 0.0) for k in ("mlm_acc", "itm_acc", "sup_cls_acc", "sub_cls_acc"))

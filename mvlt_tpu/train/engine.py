@@ -43,6 +43,7 @@ def train_one_epoch(train_step, state, loader: Iterable, rng,
 
     if pending is not None:
         _drain(pending, logger, lr_schedule)
+    logger.synchronize_between_processes()  # multi-host meter reduction
     stats = logger.global_averages()
     if is_main:
         print(f"epoch {epoch} averaged stats:", {k: round(v, 5) for k, v in stats.items()},
