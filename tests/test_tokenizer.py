@@ -65,3 +65,41 @@ def test_roundtrip(tok):
     toks = tok.tokenize("double-breasted wool coat")
     ids = tok.convert_tokens_to_ids(toks)
     assert tok.convert_ids_to_tokens(ids) == toks
+
+
+def test_fuzz_against_hf(tok, hf_tok):
+    """Randomized parity fuzz: ASCII + Latin-1 + punctuation soup."""
+    import random
+
+    random.seed(0)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "  .,-!?/()[]{}#&%$@*+=:;'\"_~^|\\<>"
+        "éèêëàâäôöûüçñÉÈÀÇ"
+    )
+    for _ in range(200):
+        n = random.randint(0, 60)
+        text = "".join(random.choice(alphabet) for _ in range(n))
+        assert tok.tokenize(text) == hf_tok.tokenize(text), repr(text)
+
+
+def test_native_fuzz_against_python():
+    """The C++ tokenizer (with fallback rows) equals the Python tokenizer on
+    the same fuzz corpus."""
+    import random
+
+    pytest.importorskip("mvlt_tpu.data.native")
+    from mvlt_tpu.data.native import NativeTokenizer
+
+    nt = NativeTokenizer(VOCAB)
+    if not nt.native_available:
+        pytest.skip("native lib unavailable")
+    py = WordPieceTokenizer(VOCAB)
+    random.seed(1)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 .,-!?/()'\"éèàç日本語"
+    )
+    for _ in range(200):
+        n = random.randint(0, 60)
+        text = "".join(random.choice(alphabet) for _ in range(n))
+        assert nt.tokenize_to_ids(text) == py.tokenize_to_ids(text), repr(text)

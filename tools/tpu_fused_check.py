@@ -7,7 +7,7 @@ from mvlt_tpu.config import LossType, ModelConfig
 from mvlt_tpu.models import create_model
 
 rng = np.random.default_rng(0)
-B = 404
+B = 101
 images = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
 ids = jnp.asarray(rng.integers(0, 30522, (B, 128)), jnp.int32)
 
