@@ -354,6 +354,11 @@ class Block(nn.Module):
         # the ratio-8 hidden activation in VMEM (mvlt_tpu/ops/fused_mlp.py).
         # The unfused path always runs at init (creates the params) and in
         # training (DropPath + autodiff).
+        # fused MLP is inference-only by measurement: the training path
+        # (backward kernel, small VMEM-bounded tiles) benched 690 vs 711
+        # pairs/s for the XLA autodiff path, so training keeps XLA.  The
+        # kernel itself is differentiable (custom VJP, tested) for callers
+        # that want it.
         use_fused = (
             self.use_pallas and self.variant == "v1" and deterministic
             and not self.drop and not self.is_initializing()
@@ -362,12 +367,21 @@ class Block(nn.Module):
         if use_fused:
             from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
 
+            # per-sample DropPath folds into the kernel as a row scale
+            row_scale = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                            (x.shape[0],))
+                row_scale = mask.astype(jnp.float32) / keep
+
             p = self.variables["params"]
             return fused_ln_mlp(
                 x,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
                 p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                row_scale,
                 eps=self.ln_eps,
             )
 

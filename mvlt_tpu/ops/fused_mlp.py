@@ -44,8 +44,10 @@ def _erf(x: jax.Array) -> jax.Array:
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, s_ref, o_ref,
             *, eps: float, dim: int):
+    """s_ref: [1, TILE] per-row residual-branch scale (DropPath mask/keep;
+    all-ones when inactive)."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     d_pad = x.shape[-1]
@@ -75,18 +77,245 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, o_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0].astype(jnp.float32)
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    # per-row scale: s block is [8, TILE/8]; reshape y's leading (sublane)
+    # dim to match instead of collapsing s (Mosaic can't mix sublane->lane)
+    tile, dp = y.shape
+    y_scaled = (y.reshape(8, tile // 8, dp) * s_ref[0][:, :, None]).reshape(tile, dp)
+    o_ref[0] = (xf + y_scaled).astype(o_ref.dtype)
+
+
+def _gelu_erf(h):
+    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+
+def _gelu_erf_grad(h):
+    """d/dh [h * Phi(h)] = Phi(h) + h * phi(h), with Phi the standard-normal
+    CDF (= 0.5(1+erf(h/sqrt2))) and phi its density."""
+    cdf = 0.5 * (1.0 + _erf(h * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
+    return cdf + h * pdf
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
+                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbe_ref,
+                    *, eps: float, dim: int):
+    """Backward grid step: recompute the forward chain for one row tile,
+    emit dx for the tile and accumulate weight/LN grads (sequential grid,
+    init at step 0).  All accumulation in fp32."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for r in (dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbe_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[0]
+    dy_out = dy_ref[0].astype(jnp.float32)
+    # residual-branch cotangent carries the per-row DropPath scale (see the
+    # forward kernel for the [8, TILE/8] layout rationale)
+    tile_rows, dp0 = dy_out.shape
+    dy = (dy_out.reshape(8, tile_rows // 8, dp0)
+          * s_ref[0][:, :, None]).reshape(tile_rows, dp0)
+    xf = x.astype(jnp.float32)
+    d_pad = x.shape[-1]
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = be_ref[0].astype(jnp.float32)
+
+    # --- recompute forward ---
+    if dim < d_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+        valid = col < dim
+        xz = jnp.where(valid, xf, 0.0)
+        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
+        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
+                      keepdims=True) / dim
+    else:
+        valid = None
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+    inv_std = jax.lax.rsqrt(var + eps)
+    nhat = (xf - mean) * inv_std                       # [tile, D]
+    if valid is not None:
+        nhat = jnp.where(valid, nhat, 0.0)
+    normed = (nhat * gamma + beta).astype(x.dtype)
+    h1 = (jax.lax.dot_general(normed, w1_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          + b1_ref[0].astype(jnp.float32))             # [tile, H] fp32
+    g_act = _gelu_erf(h1).astype(x.dtype)
+
+    # --- backward ---
+    # y = x + g W2 + b2
+    db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True).astype(db2_ref.dtype)
+    dw2_ref[...] += jax.lax.dot_general(
+        g_act, dy.astype(x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
+    dg_act = jax.lax.dot_general(
+        dy.astype(x.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [tile, H]
+    dh1 = dg_act * _gelu_erf_grad(h1)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True).astype(db1_ref.dtype)
+    dh1b = dh1.astype(x.dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        normed, dh1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw1_ref.dtype)
+    dnormed = jax.lax.dot_general(
+        dh1b, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [tile, D]
+    if valid is not None:
+        dnormed = jnp.where(valid, dnormed, 0.0)
+    dg_ref[...] += jnp.sum(dnormed * nhat, axis=0, keepdims=True).astype(dg_ref.dtype)
+    dbe_ref[...] += jnp.sum(dnormed, axis=0, keepdims=True).astype(dbe_ref.dtype)
+    # LN backward (mean/var over `dim` real features)
+    dnhat = dnormed * gamma
+    m1 = jnp.sum(dnhat, axis=-1, keepdims=True) / dim
+    m2 = jnp.sum(dnhat * nhat, axis=-1, keepdims=True) / dim
+    dx_ln = (dnhat - m1 - nhat * m2) * inv_std
+    if valid is not None:
+        dx_ln = jnp.where(valid, dx_ln, 0.0)
+    dx_ref[0] = (dy_out + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
+    return _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps=eps)
+
+
+def _fused_ln_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
+    out = _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps=eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale)
+
+
+def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
+    """Reference XLA expression (used for backward when the kernel's fixed
+    VMEM blocks — weights + fp32 weight-grad outputs — don't fit)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    nrm = ((xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+           + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    h = jax.lax.dot_general(nrm, w1.astype(x.dtype), (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    h = _gelu_erf(h).astype(x.dtype)
+    y = jax.lax.dot_general(h, w2.astype(x.dtype), (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+    return (xf + row_scale.astype(jnp.float32)[:, None, None] * y).astype(x.dtype)
+
+
+def _fused_ln_mlp_bwd(eps, res, dy):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale = res
+    b, n, d = x.shape
+    hdim = w1.shape[1]
+    d_pad = _round_up(d, 128)
+    h_pad = _round_up(hdim, 128)
+
+    # fixed VMEM blocks: bf16 w1+w2 inputs + fp32 dw1+dw2 outputs
+    fixed_bytes = d_pad * h_pad * (2 + 2 + 4 + 4)
+    if fixed_bytes > 9 * 1024 * 1024:
+        _, vjp = jax.vjp(
+            lambda *a: _xla_ln_mlp(*a, eps),
+            x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale)
+        return vjp(dy)
+    rows = b * n
+    # backward holds ~4 fp32 [tile, H] intermediates (h1, dg_act, dh1 + the
+    # dot operands) and ~7 fp32 [tile, D] ones — budget accordingly or the
+    # Mosaic scoped-VMEM allocator dies at compile time.
+    per_row = h_pad * 18 + d_pad * 40
+    tile = max(256, min(2048, (8 * 1024 * 1024 // per_row) // 8 * 8))
+    tile = min(tile, _round_up(rows, 8))
+    rows_pad = _round_up(rows, tile)
+
+    dtype = x.dtype
+    xf = x.reshape(rows, d)
+    dyf = dy.reshape(rows, d)
+    if d_pad != d or rows_pad != rows:
+        xf = jnp.pad(xf, ((0, rows_pad - rows), (0, d_pad - d)))
+        dyf = jnp.pad(dyf, ((0, rows_pad - rows), (0, d_pad - d)))
+    w1p = jnp.pad(w1.astype(dtype), ((0, d_pad - d), (0, h_pad - hdim)))
+    w2p = jnp.pad(w2.astype(dtype), ((0, h_pad - hdim), (0, d_pad - d)))
+    b1p = jnp.pad(b1.astype(jnp.float32), (0, h_pad - hdim))[None, :]
+    gp = jnp.pad(ln_scale.astype(jnp.float32), (0, d_pad - d))[None, :]
+    bep = jnp.pad(ln_bias.astype(jnp.float32), (0, d_pad - d))[None, :]
+
+    sf = _expand_row_scale(row_scale, b, n, rows_pad)
+    sf = sf.reshape(rows_pad // tile, 8, tile // 8)
+
+    xf = xf.reshape(rows_pad // tile, tile, d_pad)
+    dyf = dyf.reshape(rows_pad // tile, tile, d_pad)
+    grid = (rows_pad // tile,)
+
+    vec = lambda: pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps, dim=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((1, 8, tile // 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad // tile, tile, d_pad), x.dtype),
+            jax.ShapeDtypeStruct((d_pad, h_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, h_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(xf, dyf, w1p, b1p, w2p, gp, bep, sf)
+    dx_t, dw1, db1, dw2, db2, dgamma, dbeta = outs
+
+    dx = dx_t.reshape(rows_pad, d_pad)[:rows, :d].reshape(b, n, d)
+    return (
+        dx,
+        dgamma[0, :d].astype(ln_scale.dtype),
+        dbeta[0, :d].astype(ln_bias.dtype),
+        dw1[:d, :hdim].astype(w1.dtype),
+        db1[0, :hdim].astype(b1.dtype),
+        dw2[:hdim, :d].astype(w2.dtype),
+        db2[0, :d].astype(b2.dtype),
+        jnp.zeros_like(row_scale),  # DropPath mask: constant
+    )
+
+
+_fused_ln_mlp_vjp.defvjp(_fused_ln_mlp_fwd, _fused_ln_mlp_bwd)
+
+
+def _expand_row_scale(row_scale, b, n, rows_pad):
+    """[B] per-sample scale -> padded fp32 [rows_pad] row vector."""
+    s = jnp.repeat(row_scale.astype(jnp.float32), n)
+    return jnp.pad(s, (0, rows_pad - b * n), constant_values=1.0)
+
+
+def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                 w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                 row_scale: jax.Array | None = None, *, eps: float = 1e-6) -> jax.Array:
+    """x: [B, N, D] -> x + row_scale * MLP(LN(x)); weights w1 [D, H],
+    w2 [H, D]; row_scale [B] folds per-sample DropPath (None = ones).
+    Differentiable: the backward is its own Pallas kernel accumulating
+    weight/LN grads across row tiles."""
+    if row_scale is None:
+        row_scale = jnp.ones((x.shape[0],), jnp.float32)
+    return _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
-                 w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
-                 *, eps: float = 1e-6) -> jax.Array:
-    """x: [B, N, D] -> x + MLP(LN(x)); weights w1 [D, H], w2 [H, D].
-
-    Inference-path kernel (no custom VJP yet): callers gate on
-    ``deterministic`` so the training backward pass uses the XLA lowering.
-    """
+def _fused_ln_mlp_impl(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                       w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                       row_scale: jax.Array, *, eps: float = 1e-6) -> jax.Array:
     b, n, d = x.shape
     hdim = w1.shape[1]
     w1 = w1.astype(x.dtype)
@@ -122,6 +351,8 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     if rows_pad != rows:
         xf = jnp.pad(xf, ((0, rows_pad - rows), (0, 0)))
 
+    sf = _expand_row_scale(row_scale, b, n, rows_pad).reshape(
+        rows_pad // tile, 8, tile // 8)
     xf = xf.reshape(rows_pad // tile, tile, d_pad)
     grid = (rows_pad // tile,)
 
@@ -136,6 +367,7 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
             pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile // 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad // tile, tile, d_pad), x.dtype),
@@ -147,7 +379,7 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
             bytes_accessed=2 * rows * d_pad * x.dtype.itemsize,
             transcendentals=rows * h_pad,
         ),
-    )(xf, w1p, b1p, w2p, b2p, gp, bep)
+    )(xf, w1p, b1p, w2p, b2p, gp, bep, sf)
 
     out = out.reshape(rows_pad, d_pad)[:rows, :d]
     return out.reshape(b, n, d)
