@@ -46,6 +46,21 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=0, help="per-host batch (0: from config)")
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--tp-size", type=int, default=1)
+    # model / optimizer / data knobs (the reference's main argparse family,
+    # main_vl.py:28-178; config-file values still win when both are set
+    # there, CLI wins over defaults)
+    p.add_argument("--model", default="", help="registry name (pvlt_tiny/.../pvlt_v2_*)")
+    p.add_argument("--lr", type=float, default=0.0)
+    p.add_argument("--weight-decay", type=float, default=-1.0)
+    p.add_argument("--clip-grad", type=float, default=0.0)
+    p.add_argument("--drop-path", type=float, default=-1.0)
+    p.add_argument("--input-size", type=int, default=0)
+    p.add_argument("--num-text-tokens", type=int, default=0)
+    p.add_argument("--word-mask-rate", type=float, default=-1.0)
+    p.add_argument("--mask-ratio", type=float, default=-1.0)
+    p.add_argument("--mask-strategy", default="")
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--remat", action="store_true", help="jax.checkpoint each block")
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--fp32", action="store_true",
                    help="float32 compute (the reference's --fp32/no-AMP switch)")
@@ -74,12 +89,36 @@ def build_run_config(args) -> RunConfig:
         overrides["batch_size"] = args.batch_size
     if args.epochs:
         overrides["epochs"] = args.epochs
+    if args.model:
+        overrides["model"] = args.model
+    if args.lr > 0:
+        overrides["lr"] = args.lr
+    if args.weight_decay >= 0:
+        overrides["weight_decay"] = args.weight_decay
+    if args.clip_grad > 0:
+        overrides["clip_grad"] = args.clip_grad
+    if args.drop_path >= 0:
+        overrides["drop_path"] = args.drop_path
+    if args.input_size:
+        overrides["input_size"] = args.input_size
+    if args.num_text_tokens:
+        overrides["num_text_tokens"] = args.num_text_tokens
+    if args.word_mask_rate >= 0:
+        overrides["word_mask_rate"] = args.word_mask_rate
+    if args.mask_ratio >= 0:
+        overrides["mask_ratio"] = args.mask_ratio
+    if args.mask_strategy:
+        overrides["mask_strategy"] = args.mask_strategy
+    if args.num_workers:
+        overrides["num_workers"] = args.num_workers
     overrides["seed"] = args.seed
     cfg = apply_overrides(cfg, overrides)
     if args.synthetic_data:
         cfg = apply_overrides(cfg, {"data": {"synthetic": True}})
     if args.fp32:
-        cfg = apply_overrides(cfg, {"model": {"compute_dtype": "float32"}})
+        cfg = apply_overrides(cfg, {"model_overrides": {"compute_dtype": "float32"}})
+    if args.remat:
+        cfg = apply_overrides(cfg, {"model_overrides": {"remat": True}})
     if args.tp_size != 1:
         cfg = apply_overrides(cfg, {"tp_size": args.tp_size})
     return cfg

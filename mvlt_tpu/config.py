@@ -195,6 +195,7 @@ _FLAT_KEYS = {
     "pretrain_pth": ("finetune",),
     "num_text_tokens": ("model", "num_text_tokens"),
     "token_hidden_size": ("model", "token_hidden_size"),
+    "num_workers": ("data", "num_workers"),
     "model_overrides": ("model",),   # nested ModelConfig dict
     "data_overrides": ("data",),
     "optim_overrides": ("optim",),

@@ -52,3 +52,27 @@ def test_eval_with_resumed_checkpoint(run_dir):
     ckpt = os.path.join(run_dir, "checkpoint", "last")
     main(["--config", "configs/test_micro.py", "--synthetic-data",
           "--output-dir", run_dir, "--resume", ckpt, "--eval"])
+
+
+def test_cli_flag_overrides():
+    """CLI knobs map onto the config tree (config-file keys still win over
+    argparse defaults, libs/utils.py:257-262 semantics)."""
+    from mvlt_tpu.cli import build_run_config, get_args_parser
+
+    args = get_args_parser().parse_args([
+        "--config", "configs/test_micro.py", "--model", "pvlt_small",
+        "--lr", "1e-3", "--weight-decay", "0.05", "--mask-ratio", "0.75",
+        "--num-text-tokens", "24", "--num-workers", "2", "--remat",
+        "--mask-strategy", "square", "--clip-grad", "1.0",
+    ])
+    cfg = build_run_config(args)
+    assert cfg.model.name == "pvlt_small"
+    assert cfg.optim.lr == 1e-3
+    assert cfg.optim.weight_decay == 0.05
+    assert cfg.optim.clip_grad == 1.0
+    assert cfg.data.mask_ratio == 0.75
+    assert cfg.data.mask_strategy == "square"
+    assert cfg.model.num_text_tokens == 24
+    assert cfg.data.num_text_tokens == 24
+    assert cfg.data.num_workers == 2
+    assert cfg.model.remat is True
