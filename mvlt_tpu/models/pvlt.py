@@ -329,11 +329,13 @@ class Block(nn.Module):
         # fused-LN-MLP, XLA projections) measured slightly faster than the
         # full block-attention megakernel on v5e (3379 vs 3333 pairs/s), so
         # modular is the default; set MVLT_BLOCK_ATTN_KERNEL=1 to flip.
+        mode = os.environ.get("MVLT_BLOCK_ATTN_KERNEL", "0")
+        want_mega = mode == "1" or (mode == "auto" and x.shape[1] >= 4000)
         fused_ok = (
             self.use_pallas and self.variant == "v1" and not self.linear_sr
             and deterministic and not self.drop and not self.attn_drop
             and not self.is_initializing() and jax.default_backend() == "tpu"
-            and os.environ.get("MVLT_BLOCK_ATTN_KERNEL", "0") == "1"
+            and want_mega
         )
         if fused_ok:
             x = self._fused_attention_half(x, hw)

@@ -144,7 +144,7 @@ def fused_block_attention(x: jax.Array, k: jax.Array, v: jax.Array,
     # double-buffered x/out tiles).  Prefer the fewest equal tiles — grid
     # steps carry fixed overhead, so maximize per-step work.
     per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 10
-    cap = max(256, (11 * 1024 * 1024) // per_row // 8 * 8)
+    cap = max(256, (13 * 1024 * 1024) // per_row // 8 * 8)
     num_tiles = max(1, -(-n // cap))
     tile = _round_up(-(-n // num_tiles), 128)
     n_pad = _round_up(n, tile)
