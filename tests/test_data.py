@@ -16,7 +16,10 @@ from mvlt_tpu.data.masks import (
 from mvlt_tpu.data.text_masking import mask_tokens, process_caption
 from mvlt_tpu.data.tokenizer import WordPieceTokenizer
 
-VOCAB = "/root/reference/preweights/bert-base-uncased-vocab.txt"
+import os
+
+VOCAB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "preweights", "bert-base-uncased-vocab.txt")
 
 
 # --- masks ----------------------------------------------------------------

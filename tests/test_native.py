@@ -8,7 +8,10 @@ from mvlt_tpu.data.native import (
 )
 from mvlt_tpu.data.tokenizer import WordPieceTokenizer
 
-VOCAB = "/root/reference/preweights/bert-base-uncased-vocab.txt"
+import os
+
+VOCAB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "preweights", "bert-base-uncased-vocab.txt")
 
 
 @pytest.fixture(scope="module")

@@ -7,7 +7,10 @@ import pytest
 
 from mvlt_tpu.data.tokenizer import WordPieceTokenizer
 
-VOCAB = "/root/reference/preweights/bert-base-uncased-vocab.txt"
+import os
+
+VOCAB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "preweights", "bert-base-uncased-vocab.txt")
 
 SAMPLES = [
     "Long sleeve shirt in midnight blue stretch cotton poplin.",

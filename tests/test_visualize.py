@@ -13,7 +13,10 @@ from mvlt_tpu.data.samplers import SequentialSampler
 from mvlt_tpu.eval.visualize import visualize_vl
 from mvlt_tpu.models import create_model
 
-VOCAB = "/root/reference/preweights/bert-base-uncased-vocab.txt"
+import os
+
+VOCAB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "preweights", "bert-base-uncased-vocab.txt")
 
 
 def test_visualize_writes_artifacts(tmp_path):
