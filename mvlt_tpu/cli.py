@@ -166,8 +166,10 @@ def main(argv=None) -> None:
         variables = _load_eval_variables(model, cfg, rng)
         dataset = FashionGenRecognition(cfg.data.data_path, cfg.data)
         scorer = make_cls_scorer(model, variables)
+        # reference protocol batches recognition at 500 (main_vl.py:374-385)
+        rec_batch = 500 if jax.default_backend() != "cpu" else 64
         evaluate_recognition(
-            scorer, _simple_loader(dataset, batch=64),
+            scorer, _simple_loader(dataset, batch=rec_batch),
             num_super=cfg.model.num_super_classes, num_sub=cfg.model.num_sub_classes,
             artifact_dir=os.path.join(cfg.output_dir or ".", "visualization"),
             is_main=is_main)
