@@ -95,7 +95,8 @@ def chunked_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
 
 
 def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
-                   num_super: int = 48, num_sub: int = 122) -> Dict[str, jnp.ndarray]:
+                   num_super: int = 48, num_sub: int = 122,
+                   mlm_chunk: int = 2048) -> Dict[str, jnp.ndarray]:
     """All enabled objectives for one step.
 
     batch keys (mirroring the dataset contract, mcloader/fashion_gen.py:192-209):
@@ -119,7 +120,7 @@ def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
     elif outputs.get("mlm_hidden") is not None:
         l = MLM_LOSS_WEIGHT * chunked_mlm_loss(
             outputs["mlm_hidden"], outputs["mlm_table"], outputs["mlm_bias"],
-            batch["mlm_labels"])
+            batch["mlm_labels"], chunk=mlm_chunk)
         losses["loss_mlm"] = l
         total = total + l
 

@@ -1,0 +1,36 @@
+"""MLM chunk-size sweep for the training step."""
+import dataclasses, time
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from mvlt_tpu.config import LossType, ModelConfig, OptimConfig
+from mvlt_tpu.models import create_model
+from mvlt_tpu.train.schedule import make_optimizer
+from mvlt_tpu.train.state import create_train_state
+from mvlt_tpu.train.step import make_train_step
+
+B = 150
+rng = np.random.default_rng(0)
+imgs = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
+masked = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
+ids = jnp.asarray(rng.integers(0, 30522, (B, 128)), jnp.int32)
+batch = dict(images=imgs, masked_images=masked, input_ids=ids,
+             mlm_labels=jnp.asarray(np.where(rng.random((B,128))<0.15,
+                 rng.integers(0,30522,(B,128)), -1), jnp.int32),
+             itm_labels=jnp.asarray(rng.integers(0,2,(B,)), jnp.int32))
+for chunk in (2048, 4800, 9600):
+    cfg = ModelConfig(loss_type=LossType(itm=True, mlm=True, t2i=True, cls=False),
+                      compute_dtype="bfloat16", use_pallas_attention=True,
+                      drop_path_rate=0.1, mlm_loss_chunk=chunk)
+    model = create_model(cfg)
+    tx = make_optimizer(OptimConfig(epochs=150, batch_size=B), B, 1000)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs[:2], ids[:2])
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+    state, losses = step(state, batch, key)
+    _ = float(losses["total_loss"])
+    t0 = time.perf_counter()
+    for _i in range(5):
+        state, losses = step(state, batch, key)
+        _ = float(losses["total_loss"])
+    print(f"chunk {chunk}: {(time.perf_counter()-t0)/5*1000:.1f} ms/step", flush=True)
