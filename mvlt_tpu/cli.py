@@ -186,7 +186,10 @@ def main(argv=None) -> None:
     sampler = RepeatedAugmentSampler(len(train_ds), jax.process_index(),
                                      jax.process_count(), cfg.data.repeated_aug, cfg.seed)
     global_batch = cfg.optim.batch_size * mesh.shape["data"]
-    steps_per_epoch = max(1, len(sampler) // global_batch)
+    # each host loads its slice of the global batch; shard_batch assembles
+    # the global array (make_array_from_process_local_data on multi-host)
+    host_batch = global_batch // jax.process_count()
+    steps_per_epoch = max(1, len(sampler) // host_batch)
 
     tx = make_optimizer(cfg.optim, global_batch, steps_per_epoch)
     lr_schedule = make_lr_schedule(cfg.optim, global_batch, steps_per_epoch)
@@ -210,7 +213,7 @@ def main(argv=None) -> None:
             print(f"finetune init from {cfg.finetune}", flush=True)
 
     put = functools.partial(shard_batch, mesh)
-    loader = DataLoader(train_ds, sampler, global_batch, put_fn=put,
+    loader = DataLoader(train_ds, sampler, host_batch, put_fn=put,
                         num_workers=cfg.data.num_workers,
                         prefetch_depth=cfg.data.prefetch_depth)
     train_step = make_train_step(
@@ -224,7 +227,7 @@ def main(argv=None) -> None:
     # eval keeps every sample (drop_last=False -> ragged final batch), so it
     # skips mesh sharding; the jitted eval fn runs on the default device.
     valid_loader = DataLoader(valid_ds, SequentialSampler(len(valid_ds)),
-                              global_batch, put_fn=None, drop_last=False)
+                              host_batch, put_fn=None, drop_last=False)
 
     if args.eval:
         variables = {"params": state.params}

@@ -112,8 +112,21 @@ def batch_sharding(mesh: Mesh, batch: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """device_put a host batch with data-parallel sharding."""
-    return jax.device_put(batch, batch_sharding(mesh, batch))
+    """Assemble a device batch with data-parallel sharding.
+
+    Single-host: a plain device_put.  Multi-host SPMD: each host holds only
+    its shard of the global batch (the samplers shard by process index), so
+    the global array is assembled with make_array_from_process_local_data —
+    the jax analogue of DDP's per-rank batches."""
+    shardings = batch_sharding(mesh, batch)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def assemble(leaf, sh):
+            return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
+
+        return jax.tree_util.tree_map(assemble, batch, shardings)
+    return jax.device_put(batch, shardings)
 
 
 def sequence_sharding_constraint(x: jax.Array, mesh: Mesh) -> jax.Array:
