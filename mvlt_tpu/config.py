@@ -159,10 +159,12 @@ def _replace(dc, updates: Mapping[str, Any]):
         if not hasattr(dc, k):
             raise KeyError(f"unknown config key {k!r} for {type(dc).__name__}")
         cur = getattr(dc, k)
-        if dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
-            kwargs[k] = _replace(cur, v)
-        elif isinstance(cur, LossType) and isinstance(v, Mapping):
+        if isinstance(cur, LossType) and isinstance(v, Mapping):
+            # must precede the generic dataclass branch (LossType is one):
+            # merge with current values and coerce ints to bools
             kwargs[k] = LossType.from_dict({**cur.to_dict(), **v})
+        elif dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
+            kwargs[k] = _replace(cur, v)
         elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
             kwargs[k] = tuple(v)
         else:
