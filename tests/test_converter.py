@@ -113,3 +113,30 @@ def test_finetune_shape_filtering(model_vars):
     # backbone tensors still loaded exactly
     np.testing.assert_array_equal(
         np.asarray(params["pos_embed1"]), np.asarray(v1["params"]["pos_embed1"]))
+
+
+def test_roundtrip_deep_model_double_digit_blocks():
+    """pvlt_medium-style depths produce block3.10+ torch keys; the regex
+    mapping must round-trip double-digit block indices."""
+    cfg = micro_cfg(name="pvlt_medium", depths=(1, 1, 12, 1),
+                    loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False))
+    import dataclasses
+
+    # bypass registry preset (keep the small depths for CPU speed) by using
+    # the module class directly
+    from mvlt_tpu.models.pvlt import PVLT
+
+    model = PVLT(dataclasses.replace(cfg, name="pvlt_tiny"))
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, ids)
+    v2 = jax.jit(model.init)(jax.random.PRNGKey(5), imgs, ids)
+    sd = export_state_dict(v1["params"], v1.get("batch_stats"))
+    assert "block3.11.mlp.fc1.weight" in sd
+    params, _, report = convert_state_dict(sd, v2["params"], v2.get("batch_stats"),
+                                           verbose=False)
+    assert not report["unmapped"], report["unmapped"][:5]
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(v1["params"]))
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(params))
+    for path, leaf in flat1.items():
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat2[path]))
