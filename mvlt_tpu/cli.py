@@ -202,13 +202,16 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(cfg.output_dir or "./runs/default", cfg)
     start_epoch = 0
     if cfg.resume:
-        state, start_epoch = ckpt.restore(state, "last")
+        # cfg.resume is honored as a path (another run dir / checkpoint dir)
+        # or a tag in this run's checkpoint dir; missing targets raise.
+        state, start_epoch = ckpt.restore(state, cfg.resume)
         if is_main:
             print(f"resumed at epoch {start_epoch} (step {int(state.step)})", flush=True)
     elif cfg.finetune:
         from mvlt_tpu.convert.torch_to_jax import load_finetune_params
 
         state = state.replace(params=load_finetune_params(cfg.finetune, state.params))
+        state = jax.device_put(state, state_shardings(mesh, state))
         if is_main:
             print(f"finetune init from {cfg.finetune}", flush=True)
 
@@ -219,7 +222,10 @@ def main(argv=None) -> None:
     train_step = make_train_step(
         model, cfg.model,
         device_masks=args.device_masks and cfg.data.mask_strategy == "random_grid",
-        mask_ratio=cfg.data.mask_ratio, mask_patch_size=cfg.data.mask_patch_size)
+        mask_ratio=cfg.data.mask_ratio, mask_patch_size=cfg.data.mask_patch_size,
+        # reference quirk (main_vl.py:435): fine-tuning from a checkpoint
+        # trains with dropout/drop-path OFF (set_training_mode=finetune=='')
+        train_mode=not cfg.finetune)
     eval_fn = make_vl_eval_fn(model, cfg.model)
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,

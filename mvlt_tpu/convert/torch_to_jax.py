@@ -145,16 +145,8 @@ def translate_torch_key(key: str):
         m = re.fullmatch(pat, key)
         if m:
             path = m.expand(tmpl)
-            if kind == "conv" and path.startswith("block"):
-                pass
             return tuple(path.split("/")), kind, kind == "bn_stat"
     return None
-
-
-def _block_index_fix(path: tuple) -> tuple:
-    """torch names blocks block{stage}.{j}; flax modules are
-    block{stage}_{j} — handled in the regex templates already."""
-    return path
 
 
 def _set_in(tree: dict, path: tuple, value) -> None:
@@ -334,17 +326,25 @@ def main(argv=None) -> None:
 
 
 def load_finetune_params(path: str, params_template):
-    """Finetune init: .pth (converted) or orbax checkpoint params."""
+    """Finetune init (main_vl.py:272-291): model weights only, intersected
+    by path with shape filtering, from a reference .pth or an Orbax
+    checkpoint.  Pre-train checkpoints carry different heads (mlm/itm/t2i
+    vs cls), a full opt_state and t2i BN batch_stats, so the Orbax restore
+    must be template-free; the merge then drops mismatched head tensors
+    exactly like the reference's shape filter."""
     if path.endswith(".pth"):
         return convert_checkpoint(path, params_template)
-    import os
-
     import orbax.checkpoint as ocp
 
-    restored = ocp.StandardCheckpointer().restore(
-        os.path.abspath(path),
-        {"step": 0, "params": params_template, "batch_stats": {}, "opt_state": {}})
-    return restored["params"]
+    from mvlt_tpu.utils.checkpoint import merge_params_by_path, resolve_checkpoint_path
+
+    restored = ocp.StandardCheckpointer().restore(resolve_checkpoint_path(path))
+    params = restored.get("params", restored)
+    merged, report = merge_params_by_path(params_template, params)
+    if not report["loaded"]:
+        raise ValueError(
+            f"finetune init from {path}: no checkpoint tensor matched the model tree")
+    return merged
 
 
 if __name__ == "__main__":

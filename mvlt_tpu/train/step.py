@@ -33,7 +33,8 @@ from mvlt_tpu.train.state import TrainState
 
 def make_train_step(model, cfg: ModelConfig, donate: bool = True,
                     device_masks: bool = False, mask_ratio: float = 0.5,
-                    mask_patch_size: int = 16) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+                    mask_patch_size: int = 16,
+                    train_mode: bool = True) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted pre-training/fine-tuning step.
 
     device_masks=True generates the grid masks ON DEVICE and applies the
@@ -42,6 +43,12 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
     H2D traffic.  Metric-equivalent for training (train masks are random
     either way; validation keeps the precomputed host masks for
     reproducibility, mcloader/fashion_gen.py:170-174).
+
+    train_mode=False reproduces the reference's fine-tune quirk
+    (main_vl.py:435, set_training_mode=args.finetune==''): when initializing
+    from a checkpoint the model trains in eval mode — dropout and drop-path
+    OFF — which is metric-relevant for the published M-CR/S-CR results.
+    Gradients still flow; only the stochastic regularizers are disabled.
     """
 
     use_masked_input = cfg.loss_type.t2i  # reference alternation only matters when t2i on
@@ -73,7 +80,7 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
             out = model.apply(
-                variables, images_in, batch["input_ids"], train=True,
+                variables, images_in, batch["input_ids"], train=train_mode,
                 mutable=["batch_stats"] if has_bn else False,
                 rngs={"dropout": step_rng},
             )

@@ -18,9 +18,10 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from mvlt_tpu.config import RunConfig, config_to_dict
@@ -33,6 +34,67 @@ def _state_pytree(state) -> Dict[str, Any]:
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+
+
+def resolve_checkpoint_path(path: str, root: Optional[str] = None) -> str:
+    """Resolve a user-supplied checkpoint reference to an orbax directory.
+
+    Accepts: a checkpoint dir itself, an output dir containing
+    ``checkpoint/{best,last}``, or a bare tag (``last``/``best``) relative
+    to ``root``.  Mirrors the reference's tolerance for pointing --resume
+    at a run directory (main_vl.py:327-346)."""
+    cand = path
+    if root and not os.path.exists(cand) and not os.path.isabs(cand):
+        cand = os.path.join(root, path)
+    p = os.path.abspath(cand)
+    if os.path.isdir(p) and not os.path.exists(os.path.join(p, "_METADATA")):
+        for sub in ("checkpoint/best", "checkpoint/last", "best", "last"):
+            if os.path.exists(os.path.join(p, sub, "_METADATA")):
+                return os.path.join(p, sub)
+    return p
+
+
+_MISSING = object()
+
+
+def merge_params_by_path(params_template, restored,
+                         verbose: bool = True) -> Tuple[Any, Dict[str, list]]:
+    """Intersect-by-path merge with shape filtering.
+
+    The reference's finetune load (main_vl.py:284-290) copies checkpoint
+    tensors onto the fresh model, dropping any key whose shape mismatches
+    (pre-train mlm/itm/t2i heads vs fine-tune cls heads).  Same semantics
+    here, plus path filtering: checkpoint-only paths are dropped,
+    template-only paths keep their fresh init.  Leaves are cast to the
+    template leaf's dtype."""
+    report: Dict[str, list] = {"loaded": [], "skipped_shape": [], "missing": [], "dropped": []}
+
+    def walk(tmpl, rest, path):
+        if isinstance(tmpl, Mapping):
+            rest_map = rest if isinstance(rest, Mapping) else {}
+            for k in rest_map:
+                if k not in tmpl:
+                    report["dropped"].append("/".join(path + (k,)))
+            return {k: walk(v, rest_map.get(k, _MISSING), path + (k,))
+                    for k, v in tmpl.items()}
+        if rest is _MISSING or rest is None or isinstance(rest, Mapping):
+            report["missing"].append("/".join(path))
+            return tmpl
+        t, r = np.asarray(tmpl), np.asarray(rest)
+        if r.shape != t.shape:
+            report["skipped_shape"].append(
+                f"{'/'.join(path)}: ckpt {r.shape} vs model {t.shape}")
+            return tmpl
+        report["loaded"].append("/".join(path))
+        return r.astype(t.dtype)
+
+    merged = walk(params_template, restored, ())
+    if verbose:
+        print(f"param merge: {len(report['loaded'])} loaded, "
+              f"{len(report['skipped_shape'])} shape-filtered, "
+              f"{len(report['missing'])} kept at init, "
+              f"{len(report['dropped'])} checkpoint-only dropped", flush=True)
+    return merged, report
 
 
 class CheckpointManager:
@@ -86,24 +148,37 @@ class CheckpointManager:
         self._save("last", state, epoch, quality_score)
         return False
 
-    def restore(self, state, tag: str = "last"):
-        """Restore into the (template) TrainState; returns (state, start_epoch)."""
-        path = self._path(tag)
+    def restore(self, state, tag_or_path: str = "last"):
+        """Restore into the (template-shaped) TrainState from a tag in this
+        run's checkpoint dir or an explicit path to another run/checkpoint
+        (--resume <path>, main_vl.py:327-346).  Raises loudly if the target
+        is missing instead of silently restarting from scratch."""
+        path = resolve_checkpoint_path(tag_or_path, self.root)
         if not os.path.exists(path):
-            return state, 0
+            raise FileNotFoundError(
+                f"resume target not found: {tag_or_path!r} (resolved to {path})")
         template = _state_pytree(state)
         restored = self._ckptr.restore(path, template)
-        meta = self._read_meta(tag) or {}
+        meta = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                meta = json.load(f)
         new_state = state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
         return new_state, int(meta.get("epoch", -1)) + 1
 
     def restore_params_only(self, params_template, tag_or_path: str):
-        """Finetune-style load: model weights only, dropping head keys whose
-        shapes mismatch the current model (main_vl.py:284-290 semantics)."""
-        path = tag_or_path if os.path.isabs(tag_or_path) else self._path(tag_or_path)
-        restored = self._ckptr.restore(
-            path, {"step": 0, "params": params_template,
-                   "batch_stats": None, "opt_state": None})
-        return restored["params"]
+        """Finetune-style load: model weights only, intersected by path with
+        shape filtering (main_vl.py:284-290 semantics).  Template-free
+        restore, so the checkpoint's opt_state / batch_stats / head shapes
+        never have to match the fine-tune model's tree."""
+        path = resolve_checkpoint_path(tag_or_path, self.root)
+        restored = self._ckptr.restore(path)
+        params = restored.get("params", restored)
+        merged, report = merge_params_by_path(params_template, params)
+        if not report["loaded"]:
+            raise ValueError(
+                f"finetune init from {tag_or_path}: no checkpoint tensor "
+                f"matched the model tree")
+        return merged

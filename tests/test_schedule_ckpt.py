@@ -81,9 +81,12 @@ def test_checkpoint_policy(tmp_path):
     assert start_epoch == 9
 
 
-def test_checkpoint_restore_missing(tmp_path):
+def test_checkpoint_restore_missing_raises(tmp_path):
+    """An explicit resume target that doesn't exist must error loudly, not
+    silently restart from scratch (the reference's torch.load would raise)."""
     import jax.numpy as jnp
     import optax
+    import pytest
 
     from mvlt_tpu.train.state import TrainState
     from mvlt_tpu.utils.checkpoint import CheckpointManager
@@ -93,6 +96,7 @@ def test_checkpoint_restore_missing(tmp_path):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats={}, opt_state=tx.init(params), tx=tx)
     ckpt = CheckpointManager(str(tmp_path))
-    restored, epoch = ckpt.restore(state)
-    assert epoch == 0
-    assert restored is state
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore(state)
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore(state, str(tmp_path / "nonexistent_run"))
