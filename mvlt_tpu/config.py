@@ -83,6 +83,10 @@ class ModelConfig:
     # TPU execution policy
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     use_pallas_attention: bool = True
+    # full block-attention megakernel dispatch (ops/block_attention.py):
+    # 'none' (modular Pallas kernels — fastest measured on v5e), 'mega'
+    # (always), 'auto' (megakernel only for joint sequences >= 4000 tokens).
+    block_attn_kernel: str = "none"
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)

@@ -182,11 +182,14 @@ class JointSRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        out = multi_head_attention(q, k, v, scale=scale, use_pallas=self.use_pallas)
         if self.attn_drop:
-            # attention-prob dropout is fused away in the Pallas path; the
-            # shipped configs never enable it (attn_drop_rate defaults to 0).
-            pass
+            # attention-prob dropout is not implemented on either path (the
+            # Pallas kernel fuses the softmax; shipped configs never set it)
+            # — error rather than silently ignore a nonzero config.
+            raise NotImplementedError(
+                f"attn_drop={self.attn_drop} is not supported; the reference "
+                f"configs never enable attention-prob dropout")
+        out = multi_head_attention(q, k, v, scale=scale, use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=_trunc02, name="proj")(out)
         if self.proj_drop:
@@ -259,6 +262,7 @@ class Block(nn.Module):
     use_pallas: bool = True
     variant: str = "v1"
     linear_sr: bool = False
+    block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto
     dtype: jnp.dtype = jnp.float32
 
     def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
@@ -323,14 +327,13 @@ class Block(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         # NOTE: deterministic is positional (not keyword-only) so nn.remat
         # can mark it static (static_argnums in PVLT's stage loop).
-        import os
 
         # Megakernel A/B: the modular path (Pallas fused-attention +
         # fused-LN-MLP, XLA projections) measured slightly faster than the
         # full block-attention megakernel on v5e (3379 vs 3333 pairs/s), so
-        # modular is the default; set MVLT_BLOCK_ATTN_KERNEL=1 to flip.
-        mode = os.environ.get("MVLT_BLOCK_ATTN_KERNEL", "0")
-        want_mega = mode == "1" or (mode == "auto" and x.shape[1] >= 4000)
+        # 'none' is the default (ModelConfig.block_attn_kernel).
+        want_mega = self.block_attn == "mega" or (
+            self.block_attn == "auto" and x.shape[1] >= 4000)
         fused_ok = (
             self.use_pallas and self.variant == "v1" and not self.linear_sr
             and deterministic and not self.drop and not self.attn_drop
@@ -369,21 +372,16 @@ class Block(nn.Module):
         if use_fused:
             from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
 
-            # per-sample DropPath folds into the kernel as a row scale
-            row_scale = None
-            if not deterministic and self.drop_path > 0.0:
-                keep = 1.0 - self.drop_path
-                mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
-                                            (x.shape[0],))
-                row_scale = mask.astype(jnp.float32) / keep
-
+            # deterministic is guaranteed here, so DropPath is inactive and
+            # no row scale is needed (the kernel supports one for callers
+            # that fold per-sample stochastic depth in).
             p = self.variables["params"]
             return fused_ln_mlp(
                 x,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
                 p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
-                row_scale,
+                None,
                 eps=self.ln_eps,
             )
 
@@ -519,6 +517,7 @@ class PVLT(nn.Module):
                     sr_ln_eps=cfg.other_ln_eps, use_pallas=cfg.use_pallas_attention,
                     variant=cfg.variant,
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
+                    block_attn=cfg.block_attn_kernel,
                     dtype=dtype, name=f"block{i + 1}_{j}",
                 )(x, (h, w), t_num, det)
             cur += cfg.depths[i]

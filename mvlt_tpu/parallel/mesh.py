@@ -46,13 +46,22 @@ def maybe_init_distributed() -> None:
                 num_processes=int(os.environ["NUM_PROCESSES"]),
                 process_id=int(os.environ["PROCESS_ID"]),
             )
-        except (RuntimeError, ValueError, KeyError):
-            pass
+        except KeyError as e:
+            raise RuntimeError(
+                f"COORDINATOR_ADDRESS is set but {e} is missing — explicit "
+                f"rank discovery needs NUM_PROCESSES and PROCESS_ID") from e
+        except RuntimeError as e:
+            if "already initialized" not in str(e):
+                raise
+            print(f"distributed init skipped: {e}", flush=True)
     elif os.environ.get("MVLT_MULTIHOST", "0") == "1":
         try:
             jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            pass  # already initialized or single-process
+        except RuntimeError as e:
+            # tolerate re-init only; surface real bring-up failures
+            if "already initialized" not in str(e):
+                raise
+            print(f"distributed init skipped: {e}", flush=True)
 
 
 def make_hybrid_mesh(tp_size: int = 1) -> Mesh:

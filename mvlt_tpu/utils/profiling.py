@@ -24,8 +24,30 @@ import jax
 
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]) -> Iterator[None]:
-    """Profile the enclosed block when log_dir is set; no-op otherwise."""
+    """Profile the enclosed block when log_dir is set; no-op otherwise.
+
+    Guarded against tunneled single-chip dev rigs: ``start_trace`` hangs
+    over the axon TPU tunnel (CLAUDE.md), so tracing is skipped with a
+    warning when the backend looks tunneled.  Real pods profile normally;
+    set MVLT_FORCE_TRACE=1 to override the guard.
+    """
     if not log_dir:
+        yield
+        return
+    import os
+
+    # the tunneled backend registers under the 'axon' plugin name while
+    # still reporting platform 'tpu'; the registry name is the only signal
+    try:
+        from jax._src import xla_bridge
+
+        tunneled = "axon" in xla_bridge._backends
+    except Exception:
+        tunneled = False
+    if tunneled and os.environ.get("MVLT_FORCE_TRACE", "0") != "1":
+        print(f"profiling: skipping device trace to {log_dir} — tunneled "
+              f"backend detected (start_trace hangs over the tunnel; set "
+              f"MVLT_FORCE_TRACE=1 to force)", flush=True)
         yield
         return
     jax.profiler.start_trace(log_dir)

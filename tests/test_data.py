@@ -291,3 +291,18 @@ def test_whitespace_crop():
     out = image_from_array(arr, 32)
     assert out.shape == (32, 32, 3)
     assert out.max() <= 1.0
+
+
+def test_cli_sampler_choice():
+    """--no-repeated-aug selects the plain DistributedSampler (the
+    reference's --repeated-aug switch, main_vl.py:221-242)."""
+    from mvlt_tpu.cli import build_run_config, get_args_parser
+
+    args = get_args_parser().parse_args(
+        ["--config", "configs/test_micro.py", "--no-repeated-aug"])
+    cfg = build_run_config(args)
+    assert cfg.data.repeated_aug == 1
+
+    args = get_args_parser().parse_args(["--config", "configs/test_micro.py"])
+    cfg = build_run_config(args)
+    assert cfg.data.repeated_aug == 3

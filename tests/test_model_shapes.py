@@ -149,3 +149,27 @@ def test_registry_depths():
     cfg = dataclasses.replace(micro_cfg(), name="pvlt_small")
     model = create_model(cfg)
     assert model.cfg.depths == (3, 4, 6, 3)
+
+
+def test_attn_drop_raises():
+    """Nonzero attn_drop must error (unimplemented on both attention paths)
+    instead of silently no-opping (round-1 ADVICE low)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mvlt_tpu.config import LossType, ModelConfig
+    from mvlt_tpu.models import create_model
+
+    cfg = ModelConfig(
+        img_size=32, embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 2, 4),
+        mlp_ratios=(2, 2, 2, 2), token_hidden_size=32, num_text_tokens=8,
+        vocab_size=64, max_position_embeddings=16, itg_channel=8,
+        compute_dtype="float32", use_pallas_attention=False,
+        attn_drop_rate=0.1,
+        loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False))
+    model = create_model(cfg)
+    imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(NotImplementedError):
+        model.init(jax.random.PRNGKey(0), imgs, ids)
