@@ -149,10 +149,13 @@ def main(argv=None) -> None:
         from mvlt_tpu.eval.retrieval import evaluate_retrieval, make_itm_scorer
 
         direction = "itr" if args.eval_retrieval_itr else "tir"
-        variables = _load_eval_variables(model, cfg, rng)
+        variables = _load_eval_variables(model, cfg, rng, mesh)
         dataset = FashionGenRetrieval(cfg.data.data_path, cfg.data, direction)
         scorer = make_itm_scorer(model, variables)
-        results = evaluate_retrieval(scorer, _simple_loader(dataset), is_main=is_main)
+        # one bundle per data-axis shard per step: every chip scores pairs
+        results = evaluate_retrieval(
+            scorer, _simple_loader(dataset, batch=mesh.shape["data"]),
+            mesh=mesh, is_main=is_main)
         if is_main:
             print(f"retrieval {direction.upper()}: "
                   + " ".join(f"acc@{k}: {results[f'acc@{k}']}" for k in (1, 5, 10)), flush=True)
@@ -168,7 +171,7 @@ def main(argv=None) -> None:
             # fine-tune config, downstream_recognition.sh)
             cfg = apply_overrides(cfg, {"loss_type": {"cls": 1}})
             model = create_model(cfg.model)
-        variables = _load_eval_variables(model, cfg, rng)
+        variables = _load_eval_variables(model, cfg, rng, mesh)
         dataset = FashionGenRecognition(cfg.data.data_path, cfg.data)
         scorer = make_cls_scorer(model, variables)
         # reference protocol batches recognition at 500 (main_vl.py:374-385)
@@ -177,7 +180,7 @@ def main(argv=None) -> None:
             scorer, _simple_loader(dataset, batch=rec_batch),
             num_super=cfg.model.num_super_classes, num_sub=cfg.model.num_sub_classes,
             artifact_dir=os.path.join(cfg.output_dir or ".", "visualization"),
-            is_main=is_main)
+            mesh=mesh, is_main=is_main)
         return
 
     # --- training -----------------------------------------------------------
@@ -244,8 +247,9 @@ def main(argv=None) -> None:
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,
                              seed=cfg.seed + 10_000)
-    # eval keeps every sample (drop_last=False -> ragged final batch), so it
-    # skips mesh sharding; the jitted eval fn runs on the default device.
+    # eval keeps every sample (drop_last=False); the ragged final batch is
+    # padded+masked inside evaluate_vl and sharded over the data axis, so
+    # eval rides the whole mesh (reference leaves world-1 ranks idle).
     valid_loader = DataLoader(valid_ds, SequentialSampler(len(valid_ds)),
                               host_batch, put_fn=None, drop_last=False)
 
@@ -253,7 +257,7 @@ def main(argv=None) -> None:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        evaluate_vl(eval_fn, variables, valid_loader, is_main=is_main)
+        evaluate_vl(eval_fn, variables, valid_loader, mesh=mesh, is_main=is_main)
         return
 
     if args.viz:
@@ -293,7 +297,8 @@ def main(argv=None) -> None:
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            eval_stats = evaluate_vl(eval_fn, variables, valid_loader, is_main=is_main)
+            eval_stats = evaluate_vl(eval_fn, variables, valid_loader, mesh=mesh,
+                                     is_main=is_main)
             quality = eval_stats["quality_score"]
             stats.update({f"eval_{k}": v for k, v in eval_stats.items()})
         if is_main:
@@ -303,9 +308,11 @@ def main(argv=None) -> None:
                                     **{k: round(float(v), 6) for k, v in stats.items()}}) + "\n")
 
 
-def _load_eval_variables(model, cfg: RunConfig, rng):
+def _load_eval_variables(model, cfg: RunConfig, rng, mesh=None):
     """Build variables for eval: resume checkpoint, converted torch weights,
-    or fresh init (useful only for smoke tests)."""
+    or fresh init (useful only for smoke tests).  With ``mesh``, the tree is
+    placed with the TP param rules (replicated when tp=1) so sharded eval
+    batches compute distributed."""
     sample = jnp.zeros((1, cfg.data.input_size, cfg.data.input_size, 3), jnp.float32)
     sample_ids = jnp.zeros((1, cfg.model.num_text_tokens), jnp.int32)
     variables = jax.jit(model.init)(rng, sample, sample_ids)
@@ -330,6 +337,10 @@ def _load_eval_variables(model, cfg: RunConfig, rng):
             variables = {"params": restored["params"]}
             if restored.get("batch_stats"):
                 variables["batch_stats"] = restored["batch_stats"]
+    if mesh is not None:
+        from mvlt_tpu.parallel.sharding import param_shardings
+
+        variables = jax.device_put(variables, param_shardings(mesh, variables))
     return variables
 
 

@@ -32,14 +32,29 @@ def make_cls_scorer(model, variables) -> Callable:
 
 def evaluate_recognition(scorer: Callable, loader: Iterable,
                          num_super: int = 48, num_sub: int = 122,
-                         artifact_dir: Optional[str] = None,
+                         artifact_dir: Optional[str] = None, mesh=None,
                          is_main: bool = True) -> Dict[str, float]:
+    """With ``mesh``, batches shard over the data axis (padded by repeating
+    row 0; padded predictions sliced off — metrics exact)."""
+    if mesh is not None:
+        from mvlt_tpu.parallel.sharding import shard_batch
+
+    dp = mesh.shape["data"] if mesh is not None else 1
     sup_labels, sup_preds, sub_labels, sub_preds, names = [], [], [], [], []
     for batch in loader:
-        sup, sub = scorer(jnp.asarray(batch["images"]),
-                          jnp.asarray(batch["ori_input_ids"]))
-        sup_preds.extend(np.asarray(sup).tolist())
-        sub_preds.extend(np.asarray(sub).tolist())
+        imgs = np.asarray(batch["images"], np.float32)
+        ids = np.asarray(batch["ori_input_ids"])
+        b = imgs.shape[0]
+        pad = (-b) % dp
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, axis=0)])
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)])
+        feed = {"images": imgs, "input_ids": ids}
+        if mesh is not None:
+            feed = shard_batch(mesh, feed)
+        sup, sub = scorer(feed["images"], feed["input_ids"])
+        sup_preds.extend(np.asarray(sup)[:b].tolist())
+        sub_preds.extend(np.asarray(sub)[:b].tolist())
         sup_labels.extend(np.asarray(batch["sup_cls_labels"]).reshape(-1).tolist())
         sub_labels.extend(np.asarray(batch["sub_cls_labels"]).reshape(-1).tolist())
         if "info_list" in batch:

@@ -48,13 +48,23 @@ def rank_of_ground_truth(scores: np.ndarray) -> int:
     return int(np.nonzero(order == 0)[0][0])
 
 
-def evaluate_retrieval(scorer: Callable, loader: Iterable,
+def evaluate_retrieval(scorer: Callable, loader: Iterable, mesh=None,
                        log_every: int = 50, is_main: bool = True) -> Dict[str, float]:
     """Run the full retrieval protocol.
 
     loader yields dicts with images_101 [Q?,101,H,W,3] and
     ori_input_ids_101 [Q?,101,T] (Q? optional leading query-batch dim).
+
+    With ``mesh``, the flattened [Q*101, ...] pair batch is sharded over the
+    data axis so every chip scores candidates (the reference runs retrieval
+    eval serially on rank 0, engine_grid_masking.py:337-393).  Ragged query
+    batches are padded by repeating the last bundle; padded scores are
+    sliced off before ranking, so results are exact.
     """
+    if mesh is not None:
+        from mvlt_tpu.parallel.sharding import shard_batch
+
+    dp = mesh.shape["data"] if mesh is not None else 1
     counts = {1: 0, 5: 0, 10: 0}
     n_queries = 0
     for batch in loader:
@@ -63,11 +73,16 @@ def evaluate_retrieval(scorer: Callable, loader: Iterable,
         if imgs.ndim == 4:  # single bundle
             imgs, ids = imgs[None], ids[None]
         q, c = imgs.shape[0], imgs.shape[1]
-        flat_scores = scorer(
-            jnp.asarray(imgs.reshape((q * c,) + imgs.shape[2:])),
-            jnp.asarray(ids.reshape(q * c, -1)),
-        )
-        flat_scores = np.asarray(flat_scores).reshape(q, c)
+        pad = (-q) % dp
+        if pad:  # repeat the last bundle to fill the data axis
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
+        flat = {"images": imgs.reshape(((q + pad) * c,) + imgs.shape[2:]).astype(np.float32),
+                "input_ids": ids.reshape((q + pad) * c, -1)}
+        if mesh is not None:
+            flat = shard_batch(mesh, flat)
+        flat_scores = scorer(flat["images"], flat["input_ids"])
+        flat_scores = np.asarray(flat_scores).reshape(q + pad, c)[:q]
         for qi in range(q):
             rank = rank_of_ground_truth(flat_scores[qi])
             for k in counts:
