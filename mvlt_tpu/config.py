@@ -91,6 +91,12 @@ class ModelConfig:
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)
     mlm_loss_chunk: int = 2048
+    # decode only the labeled rows (gathered to a static capacity of this
+    # fraction of B*T, rounded up to a chunk): exact for any masking rate
+    # <= ~0.2 at the 0.25 default, and cuts the dominant vocab-GEMM work
+    # ~4x (more with lower fracs for short-caption recipes).  1.0 = full
+    # decode (reference behavior).
+    mlm_capacity_frac: float = 0.25
 
     @property
     def num_stages(self) -> int:

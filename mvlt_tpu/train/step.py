@@ -91,7 +91,8 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
                 new_batch_stats = state.batch_stats
             losses = compute_losses(out, batch, cfg.num_super_classes,
                                     cfg.num_sub_classes,
-                                    mlm_chunk=max(cfg.mlm_loss_chunk, 1))
+                                    mlm_chunk=max(cfg.mlm_loss_chunk, 1),
+                                    mlm_capacity_frac=cfg.mlm_capacity_frac)
             return losses["total_loss"], (losses, new_batch_stats)
 
         grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -204,3 +204,47 @@ def test_device_masks_step(setup):
     _, losses = step(state_odd, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(losses["total_loss"]))
     assert float(losses["loss_t2i"]) > 0
+
+
+def test_gathered_mlm_loss_matches_dense(rng):
+    """gathered_mlm_loss == full decode (value AND gradient) whenever the
+    labeled count fits the capacity; only labeled rows get hidden grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvlt_tpu.train.losses import (chunked_mlm_loss, cross_entropy,
+                                       gathered_mlm_loss)
+
+    B, T, H, V = 3, 16, 8, 24
+    hidden = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(V, H)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    labels = np.where(rng.random((B, T)) < 0.15, rng.integers(0, V, (B, T)), -1)
+    labels = jnp.asarray(labels, jnp.int32)
+
+    want = chunked_mlm_loss(hidden, table, bias, labels, chunk=8)
+    got = gathered_mlm_loss(hidden, table, bias, labels,
+                            capacity_frac=0.25, chunk=8)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    g_want = jax.grad(lambda h: chunked_mlm_loss(h, table, bias, labels, chunk=8))(hidden)
+    g_got = jax.grad(lambda h: gathered_mlm_loss(
+        h, table, bias, labels, capacity_frac=0.25, chunk=8))(hidden)
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-5, atol=1e-7)
+    # unlabeled rows carry zero hidden gradient
+    assert float(jnp.abs(jnp.where((labels == -1)[..., None], g_got, 0.0)).max()) == 0.0
+
+
+def test_gathered_mlm_loss_capacity_one_falls_back(rng):
+    """capacity_frac >= 1 routes to the exact full decode."""
+    import jax.numpy as jnp
+
+    from mvlt_tpu.train.losses import chunked_mlm_loss, gathered_mlm_loss
+
+    hidden = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(12, 4)), jnp.float32)
+    bias = jnp.zeros((12,), jnp.float32)
+    labels = jnp.asarray(rng.integers(-1, 12, (2, 8)), jnp.int32)
+    want = chunked_mlm_loss(hidden, table, bias, labels, chunk=4)
+    got = gathered_mlm_loss(hidden, table, bias, labels, capacity_frac=1.0, chunk=4)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
