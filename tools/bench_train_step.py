@@ -1,6 +1,12 @@
 """Training-step throughput on TPU: full pretrain objective (mlm+itm+t2i),
-reference batch 150, bf16.  Strict sync per step (loss fetched) — pipelined
-dispatch hides OOM errors on this backend."""
+reference batch 150, bf16.
+
+Methodology (matches the production engine): donate=True (state buffers
+alias in place, no copies) and PIPELINED dispatch — the engine drains
+metrics asynchronously, so steps chain on device without a host sync each
+iteration.  One warm sync-per-iter pass runs first so any OOM surfaces
+loudly (pipelined dispatch can mask OOMs on this backend).
+"""
 import time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
@@ -27,13 +33,18 @@ for remat in (False, True):
                  itm_labels=jnp.asarray(rng.integers(0,2,(B,)), jnp.int32))
     tx = make_optimizer(OptimConfig(epochs=150, batch_size=B), B, 1000)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs[:2], ids[:2])
-    step = make_train_step(model, cfg, donate=False)
+    step = make_train_step(model, cfg, donate=True)
     key = jax.random.PRNGKey(1)
+    # warm + OOM check (strict sync)
     state, losses = step(state, batch, key)
     print(f"remat={remat} warm loss: {float(losses['total_loss']):.4f}", flush=True)
+    state, losses = step(state, batch, key)
+    _ = float(losses["total_loss"])
+    # pipelined epoch pattern
     t0 = time.perf_counter()
-    for _ in range(5):
+    N = 10
+    for _ in range(N):
         state, losses = step(state, batch, key)
-        _ = float(losses["total_loss"])
-    dt = (time.perf_counter()-t0)/5
+    jax.block_until_ready(losses["total_loss"])
+    dt = (time.perf_counter()-t0)/N
     print(f"remat={remat}: {dt*1000:.1f} ms/step, {B/dt:.0f} pairs/s", flush=True)
