@@ -61,8 +61,10 @@ class ModelConfig:
     depths: tuple = (2, 2, 2, 2)
     sr_ratios: tuple = (8, 4, 2, 1)
     qkv_bias: bool = True
-    variant: str = "v1"        # 'v1' (reference PVT) | 'v2' (PVT-v2 blocks)
+    variant: str = "v1"        # 'v1' (reference PVT) | 'v2' (PVT-v2) | 'swin'
     linear_sr: bool = False    # PVT-v2 linear SRA (avg-pool KV, O(N))
+    window_size: int = 8       # swin variant: attention window (8 divides
+                               # every 256-input stage grid; others pad+mask)
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1

@@ -260,9 +260,11 @@ class Block(nn.Module):
     ln_eps: float = 1e-6
     sr_ln_eps: float = 1e-5
     use_pallas: bool = True
-    variant: str = "v1"
+    variant: str = "v1"        # 'v1' | 'v2' | 'swin'
     linear_sr: bool = False
     block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto
+    window_size: int = 8       # swin variant: attention window
+    shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
 
     def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
@@ -342,6 +344,18 @@ class Block(nn.Module):
         )
         if fused_ok:
             x = self._fused_attention_half(x, hw)
+        elif self.variant == "swin":
+            from mvlt_tpu.models.swin import SwinJointAttention
+
+            attn_out = SwinJointAttention(
+                self.dim, self.num_heads, window_size=self.window_size,
+                shift=self.shift, qkv_bias=self.qkv_bias,
+                proj_drop=self.drop, dtype=self.dtype, name="attn",
+            )(
+                nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
+                hw, t_num, deterministic=deterministic,
+            )
+            x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
         else:
             attn_out = JointSRAttention(
                 self.dim, self.num_heads, sr_ratio=self.sr_ratio,
@@ -518,6 +532,8 @@ class PVLT(nn.Module):
                     variant=cfg.variant,
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     block_attn=cfg.block_attn_kernel,
+                    window_size=cfg.window_size,
+                    shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
                 )(x, (h, w), t_num, det)
             cur += cfg.depths[i]
@@ -599,6 +615,11 @@ MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
     "pvlt_v2_tiny": dict(depths=(2, 2, 2, 2), variant="v2"),
     "pvlt_v2_small": dict(depths=(3, 4, 6, 3), variant="v2"),
     "pvlt_v2_linear_tiny": dict(depths=(2, 2, 2, 2), variant="v2", linear_sr=True),
+    # Swin backbone variants (BASELINE.json stretch config): shifted-window
+    # joint attention with relative-position bias (mvlt_tpu/models/swin.py);
+    # Swin-T-like depths for the 'small' entry.
+    "pvlt_swin_tiny": dict(depths=(2, 2, 2, 2), variant="swin"),
+    "pvlt_swin_small": dict(depths=(2, 2, 6, 2), variant="swin"),
 }
 
 
