@@ -85,10 +85,17 @@ class ModelConfig:
     # TPU execution policy
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
     use_pallas_attention: bool = True
-    # full block-attention megakernel dispatch (ops/block_attention.py):
-    # 'none' (modular Pallas kernels — fastest measured on v5e), 'mega'
-    # (always), 'auto' (megakernel only for joint sequences >= 4000 tokens).
-    block_attn_kernel: str = "none"
+    # block-fusion kernel dispatch on the inference path:
+    # 'none'  — modular Pallas kernels (fused attention + fused LN-MLP),
+    # 'mega'  — attention-half megakernel (ops/block_attention.py),
+    # 'auto'  — 'mega' only for joint sequences >= 4000 tokens,
+    # 'full'  — whole-block megakernel on a lane-padded stream
+    #           (ops/block_fused.py): one read+write of the residual
+    #           stream per block, no pad/slice copies.  Default: fastest
+    #           measured on v5e under the scan harness (25.0 vs 25.8
+    #           ms/batch @ B=101 vs 'none'; tools/bench_scan_sweep.py).
+    #           Inference-only — training always uses the modular kernels.
+    block_attn_kernel: str = "full"
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)

@@ -267,34 +267,51 @@ class Block(nn.Module):
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
-        """Inference path: LN1 -> Q-proj -> attention -> out-proj -> +res as
-        one Pallas megakernel (mvlt_tpu/ops/block_attention.py).  The KV
-        path (LN1 -> SR conv -> LN -> KV proj) runs in XLA on the reduced
-        sequence, reading this module's own params directly."""
-        from mvlt_tpu.ops.block_attention import fused_block_attention
+    def _xla_kv(self, x: jnp.ndarray, hw: tuple):
+        """K/V for the fused block kernels, computed in XLA: LN1 -> SR conv
+        -> LN -> KV proj (libs/pvlt.py:100-108) over the reduced sequence.
 
+        Accepts a lane-padded stream (x wider than self.dim, zero-filled):
+        LN statistics mask to the true width and the SR-conv kernel gains
+        zero input-channel rows, so no lane slice of the full stream is
+        materialized.  Returns (k, v) as [B, H, M, hd]."""
         p = self.variables["params"]
         h, w = hw
-        b, n, c = x.shape
+        b, n, d_in = x.shape
+        c = self.dim
         nh = self.num_heads
         hd = c // nh
         dtype = x.dtype
 
         # LN1 in XLA (consumed only by the KV path; XLA fuses it forward)
         xf = x.astype(jnp.float32)
-        mu = xf.mean(-1, keepdims=True)
-        var = xf.var(-1, keepdims=True)
-        g1 = p["norm1"]["scale"].astype(jnp.float32)
-        b1 = p["norm1"]["bias"].astype(jnp.float32)
+        if d_in > c:
+            mu = xf.sum(-1, keepdims=True) / c
+            var = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, xf.shape, 2) < c,
+                (xf - mu) ** 2, 0.0).sum(-1, keepdims=True) / c
+            # padded lanes of `normed` are garbage; every consumer below
+            # masks them via zero-padded weight rows or a tiny text slice
+        else:
+            mu = xf.mean(-1, keepdims=True)
+            var = xf.var(-1, keepdims=True)
+        g1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
+            p["norm1"]["scale"].astype(jnp.float32)) if d_in > c else \
+            p["norm1"]["scale"].astype(jnp.float32)
+        b1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
+            p["norm1"]["bias"].astype(jnp.float32)) if d_in > c else \
+            p["norm1"]["bias"].astype(jnp.float32)
         normed = ((xf - mu) * jax.lax.rsqrt(var + self.ln_eps) * g1 + b1).astype(dtype)
 
         ap = p["attn"]
         if self.sr_ratio > 1:
             sr = self.sr_ratio
-            vis = normed[:, : h * w, :].reshape(b, h, w, c)
+            vis = normed[:, : h * w, :].reshape(b, h, w, d_in)
+            kern = ap["sr"]["kernel"].astype(dtype)
+            if d_in > c:
+                kern = jnp.pad(kern, ((0, 0), (0, 0), (0, d_in - c), (0, 0)))
             vis = jax.lax.conv_general_dilated(
-                vis, ap["sr"]["kernel"].astype(dtype),
+                vis, kern,
                 window_strides=(sr, sr), padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + ap["sr"]["bias"].astype(dtype)
@@ -305,23 +322,58 @@ class Block(nn.Module):
             vis = ((vf - vmu) * jax.lax.rsqrt(vvar + self.sr_ln_eps)
                    * ap["norm"]["scale"].astype(jnp.float32)
                    + ap["norm"]["bias"].astype(jnp.float32)).astype(dtype)
-            kv_in = jnp.concatenate([vis, normed[:, h * w :, :]], axis=1)
+            kv_in = jnp.concatenate([vis, normed[:, h * w :, :c]], axis=1)
         else:
-            kv_in = normed
+            kv_in = normed[..., :c] if d_in > c else normed
         kv = jnp.einsum("bmc,ck->bmk", kv_in, ap["kv"]["kernel"].astype(dtype),
                         preferred_element_type=jnp.float32)
         if "bias" in ap["kv"]:
             kv = kv + ap["kv"]["bias"].astype(jnp.float32)
         m = kv_in.shape[1]
         kv = kv.astype(dtype).reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
+        return kv[0], kv[1]
 
+    def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
+        """Inference path: LN1 -> Q-proj -> attention -> out-proj -> +res as
+        one Pallas megakernel (mvlt_tpu/ops/block_attention.py)."""
+        from mvlt_tpu.ops.block_attention import fused_block_attention
+
+        p = self.variables["params"]
+        c = self.dim
+        nh = self.num_heads
+        k, v = self._xla_kv(x, hw)
+        ap = p["attn"]
         return fused_block_attention(
             x, k, v,
             p["norm1"]["scale"], p["norm1"]["bias"],
             ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
             ap["proj"]["kernel"], ap["proj"]["bias"],
-            scale=hd ** -0.5, eps=self.ln_eps, num_heads=nh,
+            scale=(c // nh) ** -0.5, eps=self.ln_eps, num_heads=nh,
+        )
+
+    def _fused_full_block(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
+        """Inference path: the WHOLE block (both halves) as one Pallas
+        megakernel (mvlt_tpu/ops/block_fused.py) — one read + one write of
+        the residual stream per block.  Accepts and returns a lane-padded
+        stream (PVLT pads once per stage; see the stage loop)."""
+        from mvlt_tpu.ops.block_fused import fused_block
+
+        p = self.variables["params"]
+        c = self.dim
+        nh = self.num_heads
+        k, v = self._xla_kv(x, hw)
+        ap = p["attn"]
+        mp = p["mlp"]
+        return fused_block(
+            x, k, v,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            scale=(c // nh) ** -0.5, eps1=self.ln_eps, eps2=self.ln_eps,
+            num_heads=nh, dim=c,
         )
 
     @nn.compact
@@ -334,15 +386,20 @@ class Block(nn.Module):
         # fused-LN-MLP, XLA projections) measured slightly faster than the
         # full block-attention megakernel on v5e (3379 vs 3333 pairs/s), so
         # 'none' is the default (ModelConfig.block_attn_kernel).
-        want_mega = self.block_attn == "mega" or (
-            self.block_attn == "auto" and x.shape[1] >= 4000)
-        fused_ok = (
+        fused_env_ok = (
             self.use_pallas and self.variant == "v1" and not self.linear_sr
             and deterministic and not self.drop and not self.attn_drop
             and not self.is_initializing() and jax.default_backend() == "tpu"
-            and want_mega
         )
-        if fused_ok:
+        if fused_env_ok and self.block_attn == "full":
+            # whole-block megakernel (possibly on a lane-padded stream —
+            # PVLT pads once per stage when this path is active)
+            return self._fused_full_block(x, hw)
+        assert x.shape[-1] == self.dim, (
+            "lane-padded stream reached a non-'full' block path")
+        want_mega = self.block_attn == "mega" or (
+            self.block_attn == "auto" and x.shape[1] >= 4000)
+        if fused_env_ok and want_mega:
             x = self._fused_attention_half(x, hw)
         elif self.variant == "swin":
             from mvlt_tpu.models.swin import SwinJointAttention
@@ -474,6 +531,17 @@ class PVLT(nn.Module):
         x = images.astype(dtype)
         img_feats, text_feats = [], []
         cur = 0
+        # Whole-block megakernel path (ModelConfig.block_attn_kernel='full'):
+        # lane-pad the joint stream once per stage so every Block's Pallas
+        # call runs pad-free (each jnp.pad/slice around a pallas_call
+        # materializes the full stream — at stage 1 the 64->128 lane pad
+        # would otherwise cost more HBM traffic than the kernel body).
+        full_kernel = (
+            cfg.block_attn_kernel == "full" and cfg.use_pallas_attention
+            and cfg.variant == "v1" and not cfg.linear_sr and det
+            and not cfg.drop_rate and not cfg.attn_drop_rate
+            and not self.is_initializing() and jax.default_backend() == "tpu"
+        )
         for i in range(cfg.num_stages):
             dim = cfg.embed_dims[i]
             patch = cfg.patch_size if i == 0 else 2
@@ -514,6 +582,9 @@ class PVLT(nn.Module):
                 from mvlt_tpu.parallel.sharding import sequence_sharding_constraint
 
                 x = sequence_sharding_constraint(x, self.sp_mesh)
+            d_pad = -(-dim // 128) * 128
+            if full_kernel and d_pad != dim:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - dim)))
 
             block_cls = Block
             if cfg.remat:
@@ -538,7 +609,8 @@ class PVLT(nn.Module):
                 )(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
-            x, y = x[:, : h * w, :], x[:, h * w :, :]
+            # split back (and drop pad lanes, fused into the same copy)
+            x, y = x[:, : h * w, :dim], x[:, h * w :, :dim]
             x = x.reshape(b, h, w, dim)
             img_feats.append(x)
             text_feats.append(y)

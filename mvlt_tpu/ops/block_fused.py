@@ -1,0 +1,272 @@
+"""Whole-block Pallas megakernel: LN1 -> Q -> attn -> proj -> +res -> LN2 ->
+MLP -> +res, one read and one write of the residual stream per block.
+
+Third iteration of the block-fusion ladder (fused_mlp.py fused the MLP half,
+block_attention.py fused the attention half).  Fusing BOTH halves into one
+kernel removes, per block: the intermediate full-stream write+read between
+the halves, and one pair of pad/unpad copies (each `jnp.pad`/slice around a
+pallas_call materializes the whole stream — at stage 1 the d=64 -> 128 lane
+padding makes those copies cost more HBM traffic than the kernel body).
+
+Measured on v5e under the scan serving harness (the only timing this rig
+cannot distort — CLAUDE.md): 25.0 ms/batch vs 25.8 for the modular pair at
+B=101 (tools/bench_scan_sweep.py), so 'full' is the default
+ModelConfig.block_attn_kernel.  Inference-path only; training keeps the
+modular kernels with their custom VJPs.
+
+As in block_attention.py, the K/V path (LN1 -> SR conv -> LN -> KV proj,
+libs/pvlt.py:100-108) stays in XLA: it reduces over the image grid and its
+output [(H/sr)(W/sr)+T, D] is tiny and VMEM-resident here.
+
+Head-stripe trick for the Q/out projections (head_dim 64 on 128 MXU lanes)
+is inherited from block_attention.py.
+
+Inference-path only (no dropout, no DropPath); the training path keeps the
+modular kernels with their custom VJPs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvlt_tpu.ops.fused_mlp import _erf
+
+
+# scoped-VMEM budget for tile sizing (bytes); module-level so benches can
+# sweep it (tools/bench_block_tile.py)
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _masked_ln(xf: jnp.ndarray, dim: int, eps: float,
+               gamma: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """fp32 LayerNorm over the first `dim` lanes of a padded [rows, d_pad]
+    tile; padded lanes produce garbage that every consumer masks via
+    zero-padded weight rows."""
+    d_pad = xf.shape[-1]
+    if dim < d_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+        valid = col < dim
+        xz = jnp.where(valid, xf, 0.0)
+        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
+        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
+                      keepdims=True) / dim
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
+            g1_ref, be1_ref, g2_ref, be2_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, scale: float, eps1: float, eps2: float, dim: int,
+            kv_len: int, num_heads: int):
+    """x_ref/o_ref: [1, TILE, D_pad]; k_ref/v_ref: [1, H, M_pad, 128];
+    wq_ref: [D_pad, H*128]; wp_ref: [H*128, D_pad]; w1_ref: [D_pad, Hid_pad];
+    w2_ref: [Hid_pad, D_pad]."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+
+    # ---- attention half ----
+    normed = _masked_ln(xf, dim, eps1, g1_ref[0].astype(jnp.float32),
+                        be1_ref[0].astype(jnp.float32)).astype(x.dtype)
+    q_all = (jax.lax.dot_general(
+        normed, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    m_pad = k_ref.shape[2]
+    needs_mask = kv_len < m_pad
+    outs = []
+    for h in range(num_heads):
+        q_h = q_all[:, h * 128:(h + 1) * 128]
+        logits = jax.lax.dot_general(
+            q_h, k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - row_max)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        probs = (unnorm / denom).astype(x.dtype)
+        outs.append(jax.lax.dot_general(
+            probs, v_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+    attn_out = jnp.concatenate(outs, axis=-1) if num_heads > 1 else outs[0]
+
+    y = jax.lax.dot_general(
+        attn_out, wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[0].astype(jnp.float32)
+    hres = xf + y                                   # fp32 [tile, D_pad]
+    # zero-padded wp columns + zero bq/bp pads keep padded lanes of y at 0,
+    # so hres padded lanes equal xf's (zeros when the stream enters padded).
+
+    # ---- MLP half ----
+    normed2 = _masked_ln(hres, dim, eps2, g2_ref[0].astype(jnp.float32),
+                         be2_ref[0].astype(jnp.float32)).astype(x.dtype)
+    hid = jax.lax.dot_general(
+        normed2, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    hid = (0.5 * hid * (1.0 + _erf(hid * 0.7071067811865476))).astype(x.dtype)
+    y2 = jax.lax.dot_general(
+        hid, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (hres + y2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "eps1", "eps2",
+                                              "num_heads", "dim"))
+def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
+                ln1_scale: jax.Array, ln1_bias: jax.Array,
+                wq: jax.Array, bq: jax.Array,
+                wp: jax.Array, bp: jax.Array,
+                ln2_scale: jax.Array, ln2_bias: jax.Array,
+                w1: jax.Array, b1: jax.Array,
+                w2: jax.Array, b2: jax.Array,
+                *, scale: float, eps1: float, eps2: float,
+                num_heads: int, dim: int | None = None) -> jax.Array:
+    """One full transformer block on a (possibly lane-padded) stream.
+
+    x: [B, N, D_any] with true feature width `dim` (default D_any) — pass a
+    lane-padded stream (D_any = roundup(dim, 128), zero-filled) to skip the
+    pad/unpad copies entirely; padded lanes are preserved as zeros.
+    k, v: [B, H, M, hd] already projected (hd = dim/H).
+    Returns [B, N, D_any] = block(x) with residuals, in x.dtype.
+    """
+    b, n, d_in = x.shape
+    if dim is None:
+        dim = d_in
+    h = num_heads
+    hd = dim // h
+    m = k.shape[2]
+    assert k.shape[1] == h and k.shape[3] == hd
+
+    d_pad = _round_up(dim, 128)
+    hd_pad = 128
+    m_pad = _round_up(m, 128)
+    hidden = w1.shape[1]
+    hid_pad = _round_up(hidden, 128)
+
+    dtype = x.dtype
+    # expand Wq into per-head 128-lane stripes
+    wq = wq.astype(dtype).reshape(dim, h, hd)
+    wq2 = jnp.zeros((d_pad, h, hd_pad), dtype)
+    wq2 = wq2.at[:dim, :, :hd].set(wq)
+    wq2 = wq2.reshape(d_pad, h * hd_pad)
+    bq2 = jnp.zeros((h, hd_pad), jnp.float32).at[:, :hd].set(
+        bq.astype(jnp.float32).reshape(h, hd)).reshape(1, h * hd_pad)
+    # expand Wp with matching zero rows (zero columns beyond dim keep the
+    # padded lanes of the residual at 0)
+    wp = wp.astype(dtype).reshape(h, hd, dim)
+    wp2 = jnp.zeros((h, hd_pad, d_pad), dtype)
+    wp2 = wp2.at[:, :hd, :dim].set(wp)
+    wp2 = wp2.reshape(h * hd_pad, d_pad)
+
+    def vec(a, width):
+        out = jnp.zeros((1, width), jnp.float32)
+        return out.at[0, :a.shape[0]].set(a.astype(jnp.float32))
+
+    bp2 = vec(bp, d_pad)
+    g1 = vec(ln1_scale, d_pad)
+    be1 = vec(ln1_bias, d_pad)
+    g2 = vec(ln2_scale, d_pad)
+    be2 = vec(ln2_bias, d_pad)
+    w1p = jnp.zeros((d_pad, hid_pad), dtype).at[:dim, :hidden].set(w1.astype(dtype))
+    b1p = vec(b1, hid_pad)
+    w2p = jnp.zeros((hid_pad, d_pad), dtype).at[:hidden, :dim].set(w2.astype(dtype))
+    b2p = vec(b2, d_pad)
+
+    kp = k.astype(dtype)
+    vp = v.astype(dtype)
+    if hd_pad != hd:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+    if m_pad != m:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+
+    # Row tiling under the scoped-VMEM budget.  Fixed blocks (weights + KV,
+    # broadcast to every step) come off the top; per-row fp32/bf16 live set:
+    # x/xf/normed/q/attn-out/hres/normed2/y2/out on d_pad lanes (~26 B/lane
+    # incl. double-buffered in/out tiles), fp32 logits on m_pad, fp32+bf16
+    # hidden on hid_pad.
+    fixed = (2 * d_pad * h * hd_pad + 2 * d_pad * hid_pad
+             + 2 * h * m_pad * hd_pad) * 2
+    per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 26 + hid_pad * 6
+    cap = max(64, (_VMEM_BUDGET - fixed) // per_row // 16 * 16)
+    num_tiles = max(1, -(-n // cap))
+    # prefer a tile that divides n exactly on a 16-row (sublane) boundary so
+    # the stream needs no token padding (pad/slice copies are what this
+    # kernel exists to avoid)
+    tile = 0
+    for nt in range(num_tiles, num_tiles + 8):
+        if n % nt == 0 and (n // nt) % 16 == 0 and n // nt <= cap:
+            tile = n // nt
+            break
+    if not tile:
+        tile = _round_up(-(-n // num_tiles), 16)
+    n_pad = _round_up(n, tile)
+    xp = x
+    if d_in != d_pad or n_pad != n:
+        assert d_in <= d_pad
+        xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d_in)))
+
+    grid = (b, n_pad // tile)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, eps1=eps1, eps2=eps2,
+                          dim=dim, kv_len=m, num_heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * hd_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, hid_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (d_pad * h * hd_pad * 2 + h * m_pad * hd_pad * 2
+                               + d_pad * hid_pad * 2),
+            bytes_accessed=2 * b * n * d_pad * x.dtype.itemsize,
+            transcendentals=b * n * (h * m_pad + hid_pad),
+        ),
+    )(xp, kp, vp, wq2, bq2, wp2, bp2, g1, be1, g2, be2, w1p, b1p, w2p, b2p)
+
+    if d_in == d_pad and n_pad == n:
+        return out
+    return out[:, :n, :d_in]
