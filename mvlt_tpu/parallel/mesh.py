@@ -64,17 +64,38 @@ def maybe_init_distributed() -> None:
             print(f"distributed init skipped: {e}", flush=True)
 
 
-def make_hybrid_mesh(tp_size: int = 1) -> Mesh:
+def make_hybrid_mesh(tp_size: int = 1, n_slices: Optional[int] = None,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Multi-slice mesh: the data axis spans slices over DCN while the
     model axis stays inside a slice on ICI (megatron-style weights must
-    never cross the slow link).  Uses mesh_utils.create_hybrid_device_mesh
-    with one data group per slice."""
-    n_slices = max(1, getattr(jax.devices()[0], "num_slices", 1))
-    per_slice = len(jax.devices()) // n_slices
-    mesh_devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_slice // tp_size, tp_size),
-        dcn_mesh_shape=(n_slices, 1),
-    )
+    never cross the slow link).
+
+    On real multi-slice TPU topologies (devices expose ``slice_index``)
+    this uses mesh_utils.create_hybrid_device_mesh with one data group per
+    slice.  ``n_slices`` overrides autodetection; when the devices carry no
+    slice topology (CPU test meshes) the slice structure is simulated by
+    slice-major device order — model groups never straddle a simulated
+    slice boundary, so shardings compile identically to the real layout.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_slices is None:
+        n_slices = max(1, getattr(devices[0], "num_slices", 1))
+    if len(devices) % n_slices:
+        raise ValueError(f"{len(devices)} devices not divisible by {n_slices} slices")
+    per_slice = len(devices) // n_slices
+    if per_slice % tp_size:
+        raise ValueError(f"{per_slice} per-slice devices not divisible by tp={tp_size}")
+    if getattr(devices[0], "slice_index", None) is not None:
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice // tp_size, tp_size),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+    else:
+        # slice-major layout: data axis = [slice0-dp..., slice1-dp...], so
+        # each model row (tp group) lives inside one simulated slice
+        mesh_devices = np.asarray(devices).reshape(
+            n_slices * (per_slice // tp_size), tp_size)
     return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
 
 

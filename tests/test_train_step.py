@@ -248,3 +248,43 @@ def test_gathered_mlm_loss_capacity_one_falls_back(rng):
     want = chunked_mlm_loss(hidden, table, bias, labels, chunk=4)
     got = gathered_mlm_loss(hidden, table, bias, labels, capacity_frac=1.0, chunk=4)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_hybrid_mesh_matches_single_device(setup):
+    """Multi-slice hybrid mesh (2 simulated slices x dp2 x tp2): the train
+    step over a DCN-aware device layout == single-device step.  Covers
+    make_hybrid_mesh's CPU/simulated-slice fallback (the real-slice branch
+    needs hardware with slice_index, exercised only on pods)."""
+    from mvlt_tpu.parallel.mesh import make_hybrid_mesh
+
+    cfg, model, state = setup
+    batch = make_batch(np.random.default_rng(6))
+    rng = jax.random.PRNGKey(7)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_single, _ = step(state, batch, rng)
+
+    mesh = make_hybrid_mesh(tp_size=2, n_slices=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # model (tp) groups must not straddle a slice boundary: with 8 devices
+    # in 2 slices, each tp pair must come from the same half of the list
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    assert (ids[:, 0] // 4 == ids[:, 1] // 4).all()
+
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    sharded_batch = shard_batch(mesh, batch)
+    s_h, _ = step(sharded_state, sharded_batch, rng)
+
+    p1 = jax.tree_util.tree_leaves(s_single.params)
+    p2 = jax.tree_util.tree_leaves(jax.device_get(s_h.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_mesh_validation():
+    from mvlt_tpu.parallel.mesh import make_hybrid_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_hybrid_mesh(tp_size=1, n_slices=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_hybrid_mesh(tp_size=3, n_slices=2)
