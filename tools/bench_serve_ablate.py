@@ -1,4 +1,5 @@
-"""Serving-path ablation at the bench batch (B=101, bf16, Pallas kernels).
+"""Serving-path ablation at the bench batch (B=101, bf16, 'full' kernel),
+under the scan harness (the only timing this rig can't distort, CLAUDE.md).
 
 Locates where the ITM forward's wall-clock goes: per-stage block cost,
 skeleton (embeds+heads), and kernel on/off deltas.  Run as
@@ -18,35 +19,42 @@ from mvlt_tpu.models.pvlt import PVLT
 
 rng = np.random.default_rng(0)
 B = 101
-images = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
-ids = jnp.asarray(rng.integers(0, 30522, (B, 128)), jnp.int32)
+ITERS = 12
+images = jnp.asarray(rng.random((ITERS, B, 256, 256, 3), np.float32))
+ids = jnp.asarray(rng.integers(0, 30522, (ITERS, B, 128)), jnp.int32)
 
 
-def run(tag, depths=(2, 2, 2, 2), pallas=True, kernel="modular"):
+def run(tag, depths=(2, 2, 2, 2), pallas=True, kernel="full"):
     cfg = ModelConfig(loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
                       compute_dtype="bfloat16", use_pallas_attention=pallas,
                       block_attn_kernel=kernel, depths=depths)
     model = PVLT(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1], ids[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0, :1], ids[0, :1])
 
     @jax.jit
-    def f(images, ids):
-        return model.apply(variables, images, ids, train=False)["itm_logits"]
+    def serve(images, ids):
+        def step(acc, b):
+            im, ii = b
+            out = model.apply(variables, im, ii, train=False)
+            return acc + out["itm_logits"].sum(), None
+        return jax.lax.scan(step, jnp.float32(0.0), (images, ids))[0]
 
-    f(images, ids).block_until_ready()
-    t0 = time.perf_counter()
-    outs = [f(images, ids) for _ in range(20)]
-    jax.block_until_ready(outs[-1])
-    dt = (time.perf_counter() - t0) / 20 * 1000
-    print(f"{tag}: {dt:.2f} ms/iter  ({B/dt*1000:.0f} pairs/s)", flush=True)
+    np.asarray(serve(images, ids))
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(serve(images, ids))
+        dt = min(dt, time.perf_counter() - t0)
+    dt = dt / ITERS * 1000
+    print(f"{tag}: {dt:.2f} ms/batch  ({B/dt*1000:.0f} pairs/s)", flush=True)
     return dt
 
 
-base = run("serving 2222 modular")
+base = run("serving 2222 full")
 run("0222 (no stage1)", (0, 2, 2, 2))
 run("2022 (no stage2)", (2, 0, 2, 2))
 run("2202 (no stage3)", (2, 2, 0, 2))
 run("2220 (no stage4)", (2, 2, 2, 0))
 run("0000 (skeleton)", (0, 0, 0, 0))
-run("serving 2222 mega", kernel="mega")
+run("serving 2222 modular", kernel="none")
 run("serving 2222 xla", pallas=False)
