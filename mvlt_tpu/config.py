@@ -96,6 +96,12 @@ class ModelConfig:
     #           ms/batch @ B=101 vs 'none'; tools/bench_scan_sweep.py).
     #           Inference-only — training always uses the modular kernels.
     block_attn_kernel: str = "full"
+    # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
+    # folds into the kernel as a per-sample row scale.  Default on by
+    # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the
+    # forced-fetch methodology (tools/bench_train_fusedmlp.py; the old
+    # inference-only gate was decided on pre-2026-08-16 polluted timing).
+    fused_mlp_train: bool = True
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)

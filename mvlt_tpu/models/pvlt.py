@@ -262,7 +262,8 @@ class Block(nn.Module):
     use_pallas: bool = True
     variant: str = "v1"        # 'v1' | 'v2' | 'swin'
     linear_sr: bool = False
-    block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto
+    block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto|full
+    fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -426,33 +427,39 @@ class Block(nn.Module):
             )
             x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic=deterministic)
 
-        # Fused LN->MLP->residual Pallas kernel on the inference path: keeps
-        # the ratio-8 hidden activation in VMEM (mvlt_tpu/ops/fused_mlp.py).
-        # The unfused path always runs at init (creates the params) and in
-        # training (DropPath + autodiff).
-        # fused MLP is inference-only by measurement: the training path
-        # (backward kernel, small VMEM-bounded tiles) benched 690 vs 711
-        # pairs/s for the XLA autodiff path, so training keeps XLA.  The
-        # kernel itself is differentiable (custom VJP, tested) for callers
-        # that want it.
+        # Fused LN->MLP->residual Pallas kernel (mvlt_tpu/ops/fused_mlp.py):
+        # keeps the ratio-8 hidden activation in VMEM.  Inference uses it
+        # unconditionally; training opts in via ModelConfig.fused_mlp_train
+        # (the custom-VJP backward benched behind XLA autodiff under the
+        # old methodology — 690 vs 711 pairs/s — and is re-gated by the
+        # honest harness via tools/bench_train_fusedmlp.py).  The unfused
+        # path always runs at init (creates the params).
         use_fused = (
-            self.use_pallas and self.variant == "v1" and deterministic
+            self.use_pallas and self.variant == "v1"
+            and (deterministic or self.fused_mlp_train)
             and not self.drop and not self.is_initializing()
             and jax.default_backend() == "tpu"
         )
         if use_fused:
             from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
 
-            # deterministic is guaranteed here, so DropPath is inactive and
-            # no row scale is needed (the kernel supports one for callers
-            # that fold per-sample stochastic depth in).
+            if deterministic or self.drop_path == 0.0:
+                # DropPath inactive: no per-row scale needed
+                row_scale = None
+            else:
+                # fold per-sample stochastic depth into the kernel as a
+                # row scale (mask/keep), matching DropPath semantics
+                keep = 1.0 - self.drop_path
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (x.shape[0],))
+                row_scale = mask.astype(jnp.float32) / keep
             p = self.variables["params"]
             return fused_ln_mlp(
                 x,
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
                 p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
-                None,
+                row_scale,
                 eps=self.ln_eps,
             )
 
@@ -603,6 +610,7 @@ class PVLT(nn.Module):
                     variant=cfg.variant,
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     block_attn=cfg.block_attn_kernel,
+                    fused_mlp_train=cfg.fused_mlp_train,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
