@@ -27,15 +27,20 @@ def run(tag, depths=(2,2,2,2), lt=None):
     model = PVLT(cfg)
     tx = make_optimizer(OptimConfig(epochs=150, batch_size=B), B, 1000)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs[:2], ids[:2])
-    step = make_train_step(model, cfg, donate=False)
+    step = make_train_step(model, cfg, donate=True)
     key = jax.random.PRNGKey(1)
     state, losses = step(state, batch, key)
-    _ = float(losses["total_loss"])
-    t0 = time.perf_counter()
-    for _i in range(5):
-        state, losses = step(state, batch, key)
-        _ = float(losses["total_loss"])
-    print(f"{tag}: {(time.perf_counter()-t0)/5*1000:.1f} ms/step", flush=True)
+    np.asarray(losses["total_loss"])
+    # forced-fetch slope between two loop lengths (CLAUDE.md methodology)
+    ts = {}
+    for N in (4, 12):
+        t0 = time.perf_counter()
+        for _i in range(N):
+            state, losses = step(state, batch, key)
+        np.asarray(losses["total_loss"])
+        ts[N] = time.perf_counter() - t0
+    slope = (ts[12] - ts[4]) / 8
+    print(f"{tag}: {slope*1000:.1f} ms/step ({B/slope:.0f} pairs/s)", flush=True)
 
 run("full 2222")
 run("no stage1 (0222)", (0,2,2,2))
