@@ -434,8 +434,9 @@ class Block(nn.Module):
         # old methodology — 690 vs 711 pairs/s — and is re-gated by the
         # honest harness via tools/bench_train_fusedmlp.py).  The unfused
         # path always runs at init (creates the params).
+        # v1 and swin share the standard Mlp; v2's DWConv MLP cannot fuse
         use_fused = (
-            self.use_pallas and self.variant == "v1"
+            self.use_pallas and self.variant in ("v1", "swin")
             and (deterministic or self.fused_mlp_train)
             and not self.drop and not self.is_initializing()
             and jax.default_backend() == "tpu"

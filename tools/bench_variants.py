@@ -1,0 +1,53 @@
+"""Serving throughput across backbone variants under the scan harness
+(bench.py methodology).  ``python -m tools.bench_variants [name ...]``
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from mvlt_tpu.config import LossType, ModelConfig
+from mvlt_tpu.models import create_model
+
+rng = np.random.default_rng(0)
+B = 101
+ITERS = 12
+images = jnp.asarray(rng.random((ITERS, B, 256, 256, 3), np.float32))
+ids = jnp.asarray(rng.integers(0, 30522, (ITERS, B, 128)), jnp.int32)
+
+
+def bench(name):
+    cfg = ModelConfig(name=name,
+                      loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
+                      compute_dtype="bfloat16", use_pallas_attention=True)
+    model = create_model(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0, :1], ids[0, :1])
+
+    @jax.jit
+    def serve(images, ids):
+        def step(acc, b):
+            im, ii = b
+            out = model.apply(variables, im, ii, train=False)
+            return acc + out["itm_logits"].sum(), None
+        return jax.lax.scan(step, jnp.float32(0.0), (images, ids))[0]
+
+    np.asarray(serve(images, ids))
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(serve(images, ids))
+        dt = min(dt, time.perf_counter() - t0)
+    dt = dt / ITERS * 1000
+    print(f"{name}: {dt:.2f} ms/batch ({B/dt*1000:.0f} pairs/s)", flush=True)
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["pvlt_tiny", "pvlt_small", "pvlt_v2_tiny",
+                             "pvlt_swin_tiny"]
+    for n in names:
+        bench(n)
