@@ -268,14 +268,17 @@ class Block(nn.Module):
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
 
-    def _xla_kv(self, x: jnp.ndarray, hw: tuple):
+    def _xla_kv(self, x: jnp.ndarray, hw: tuple,
+                normed: Optional[jnp.ndarray] = None):
         """K/V for the fused block kernels, computed in XLA: LN1 -> SR conv
         -> LN -> KV proj (libs/pvlt.py:100-108) over the reduced sequence.
 
         Accepts a lane-padded stream (x wider than self.dim, zero-filled):
         LN statistics mask to the true width and the SR-conv kernel gains
         zero input-channel rows, so no lane slice of the full stream is
-        materialized.  Returns (k, v) as [B, H, M, hd]."""
+        materialized.  ``normed`` skips the full-stream LayerNorm when the
+        previous block's kernel already emitted LN1(x) (the ln_next
+        handoff, ops/block_fused.py).  Returns (k, v) as [B, H, M, hd]."""
         p = self.variables["params"]
         h, w = hw
         b, n, d_in = x.shape
@@ -284,25 +287,26 @@ class Block(nn.Module):
         hd = c // nh
         dtype = x.dtype
 
-        # LN1 in XLA (consumed only by the KV path; XLA fuses it forward)
-        xf = x.astype(jnp.float32)
-        if d_in > c:
-            mu = xf.sum(-1, keepdims=True) / c
-            var = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, xf.shape, 2) < c,
-                (xf - mu) ** 2, 0.0).sum(-1, keepdims=True) / c
-            # padded lanes of `normed` are garbage; every consumer below
-            # masks them via zero-padded weight rows or a tiny text slice
-        else:
-            mu = xf.mean(-1, keepdims=True)
-            var = xf.var(-1, keepdims=True)
-        g1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
-            p["norm1"]["scale"].astype(jnp.float32)) if d_in > c else \
-            p["norm1"]["scale"].astype(jnp.float32)
-        b1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
-            p["norm1"]["bias"].astype(jnp.float32)) if d_in > c else \
-            p["norm1"]["bias"].astype(jnp.float32)
-        normed = ((xf - mu) * jax.lax.rsqrt(var + self.ln_eps) * g1 + b1).astype(dtype)
+        if normed is None:
+            # LN1 in XLA (consumed only by the KV path)
+            xf = x.astype(jnp.float32)
+            if d_in > c:
+                mu = xf.sum(-1, keepdims=True) / c
+                var = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, xf.shape, 2) < c,
+                    (xf - mu) ** 2, 0.0).sum(-1, keepdims=True) / c
+                # padded lanes of `normed` are garbage; every consumer below
+                # masks them via zero-padded weight rows or a tiny text slice
+            else:
+                mu = xf.mean(-1, keepdims=True)
+                var = xf.var(-1, keepdims=True)
+            g1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
+                p["norm1"]["scale"].astype(jnp.float32)) if d_in > c else \
+                p["norm1"]["scale"].astype(jnp.float32)
+            b1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
+                p["norm1"]["bias"].astype(jnp.float32)) if d_in > c else \
+                p["norm1"]["bias"].astype(jnp.float32)
+            normed = ((xf - mu) * jax.lax.rsqrt(var + self.ln_eps) * g1 + b1).astype(dtype)
 
         ap = p["attn"]
         if self.sr_ratio > 1:
@@ -311,12 +315,17 @@ class Block(nn.Module):
             kern = ap["sr"]["kernel"].astype(dtype)
             if d_in > c:
                 kern = jnp.pad(kern, ((0, 0), (0, 0), (0, d_in - c), (0, 0)))
-            vis = jax.lax.conv_general_dilated(
-                vis, kern,
-                window_strides=(sr, sr), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + ap["sr"]["bias"].astype(dtype)
-            vis = vis.reshape(b, (h // sr) * (w // sr), c)
+            # the k=sr, stride=sr "conv" is a non-overlapping patch
+            # contraction; expressed as space-to-depth + one fat GEMM it
+            # runs ~MXU-shaped, where XLA's conv lowering for this kernel
+            # shape measured several ms slower across the 6 SRA blocks
+            vis = vis.reshape(b, h // sr, sr, w // sr, sr, d_in)
+            vis = vis.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, (h // sr) * (w // sr), sr * sr * d_in)
+            vis = jnp.einsum(
+                "bpk,ko->bpo", vis, kern.reshape(sr * sr * d_in, c),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype) + ap["sr"]["bias"].astype(dtype)
             vf = vis.astype(jnp.float32)
             vmu = vf.mean(-1, keepdims=True)
             vvar = vf.var(-1, keepdims=True)
@@ -352,17 +361,23 @@ class Block(nn.Module):
             scale=(c // nh) ** -0.5, eps=self.ln_eps, num_heads=nh,
         )
 
-    def _fused_full_block(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
+    def _fused_full_block(self, x: jnp.ndarray, hw: tuple,
+                          kv_normed: Optional[jnp.ndarray] = None,
+                          ln_next: Optional[tuple] = None):
         """Inference path: the WHOLE block (both halves) as one Pallas
         megakernel (mvlt_tpu/ops/block_fused.py) — one read + one write of
         the residual stream per block.  Accepts and returns a lane-padded
-        stream (PVLT pads once per stage; see the stage loop)."""
+        stream (PVLT pads once per stage; see the stage loop).
+
+        kv_normed: LN1(x) emitted by the previous block's kernel (skips the
+        XLA full-stream LN in the K/V path).  ln_next: the NEXT block's
+        (norm1 scale, bias) — when given, returns (out, LN_next(out))."""
         from mvlt_tpu.ops.block_fused import fused_block
 
         p = self.variables["params"]
         c = self.dim
         nh = self.num_heads
-        k, v = self._xla_kv(x, hw)
+        k, v = self._xla_kv(x, hw, normed=kv_normed)
         ap = p["attn"]
         mp = p["mlp"]
         return fused_block(
@@ -373,15 +388,20 @@ class Block(nn.Module):
             p["norm2"]["scale"], p["norm2"]["bias"],
             mp["fc1"]["kernel"], mp["fc1"]["bias"],
             mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            ln_next,
             scale=(c // nh) ** -0.5, eps1=self.ln_eps, eps2=self.ln_eps,
             num_heads=nh, dim=c,
         )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 kv_normed: Optional[jnp.ndarray] = None,
+                 ln_next: Optional[tuple] = None):
         # NOTE: deterministic is positional (not keyword-only) so nn.remat
         # can mark it static (static_argnums in PVLT's stage loop).
+        # kv_normed / ln_next belong to the 'full'-kernel LN handoff
+        # (ops/block_fused.py) and are only passed on that path.
 
         # Megakernel A/B: the modular path (Pallas fused-attention +
         # fused-LN-MLP, XLA projections) measured slightly faster than the
@@ -395,7 +415,8 @@ class Block(nn.Module):
         if fused_env_ok and self.block_attn == "full":
             # whole-block megakernel (possibly on a lane-padded stream —
             # PVLT pads once per stage when this path is active)
-            return self._fused_full_block(x, hw)
+            return self._fused_full_block(x, hw, kv_normed=kv_normed,
+                                          ln_next=ln_next)
         assert x.shape[-1] == self.dim, (
             "lane-padded stream reached a non-'full' block path")
         want_mega = self.block_attn == "mega" or (
@@ -595,14 +616,17 @@ class PVLT(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - dim)))
 
             block_cls = Block
-            if cfg.remat:
+            if cfg.remat and not full_kernel:
                 # rematerialize block activations in the backward pass
                 # (trades FLOPs for HBM; the TPU analogue of the reference's
                 # absent gradient checkpointing — enables pvlt_large at
                 # full batch).  static: hw, t_num, deterministic (self is 0).
+                # Pointless on the inference-only full-kernel path, which
+                # also threads extra args remat's static_argnums don't know.
                 block_cls = nn.remat(Block, static_argnums=(2, 3, 4))
-            for j in range(cfg.depths[i]):
-                x = block_cls(
+
+            def mk_block(j):
+                return block_cls(
                     dim=dim, num_heads=cfg.num_heads[i], mlp_ratio=cfg.mlp_ratios[i],
                     sr_ratio=cfg.sr_ratios[i], qkv_bias=cfg.qkv_bias,
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
@@ -615,7 +639,28 @@ class PVLT(nn.Module):
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
-                )(x, (h, w), t_num, det)
+                )
+
+            if full_kernel:
+                # LN handoff: each kernel also emits the NEXT block's
+                # LN1(out), so only the stage's first block pays the XLA
+                # full-stream LayerNorm in its K/V path.
+                params = self.variables["params"]
+                kv_normed = None
+                for j in range(cfg.depths[i]):
+                    ln_next = None
+                    if j + 1 < cfg.depths[i]:
+                        nxt = params[f"block{i + 1}_{j + 1}"]["norm1"]
+                        ln_next = (nxt["scale"], nxt["bias"])
+                    out = mk_block(j)(x, (h, w), t_num, det,
+                                      kv_normed, ln_next)
+                    if ln_next is not None:
+                        x, kv_normed = out
+                    else:
+                        x, kv_normed = out, None
+            else:
+                for j in range(cfg.depths[i]):
+                    x = mk_block(j)(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
             # split back (and drop pad lanes, fused into the same copy)

@@ -67,12 +67,15 @@ def _masked_ln(xf: jnp.ndarray, dim: int, eps: float,
 
 def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
             g1_ref, be1_ref, g2_ref, be2_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, gn_ref, ben_ref,
+            o_ref, on_ref,
             *, scale: float, eps1: float, eps2: float, dim: int,
-            kv_len: int, num_heads: int):
+            kv_len: int, num_heads: int, emit_next: bool):
     """x_ref/o_ref: [1, TILE, D_pad]; k_ref/v_ref: [1, H, M_pad, 128];
     wq_ref: [D_pad, H*128]; wp_ref: [H*128, D_pad]; w1_ref: [D_pad, Hid_pad];
-    w2_ref: [Hid_pad, D_pad]."""
+    w2_ref: [Hid_pad, D_pad].  With emit_next, on_ref additionally receives
+    LN(out) under (gn, ben) — the NEXT block's norm1 — so its XLA K/V path
+    skips the full-stream LayerNorm (PVLT threads it through the stage)."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
 
@@ -132,7 +135,12 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0].astype(jnp.float32)
-    o_ref[0] = (hres + y2).astype(o_ref.dtype)
+    out = hres + y2
+    o_ref[0] = out.astype(o_ref.dtype)
+    if emit_next:
+        on_ref[0] = _masked_ln(
+            out, dim, eps1, gn_ref[0].astype(jnp.float32),
+            ben_ref[0].astype(jnp.float32)).astype(on_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "eps1", "eps2",
@@ -144,15 +152,18 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 ln2_scale: jax.Array, ln2_bias: jax.Array,
                 w1: jax.Array, b1: jax.Array,
                 w2: jax.Array, b2: jax.Array,
+                ln_next: "tuple[jax.Array, jax.Array] | None" = None,
                 *, scale: float, eps1: float, eps2: float,
-                num_heads: int, dim: int | None = None) -> jax.Array:
+                num_heads: int, dim: int | None = None):
     """One full transformer block on a (possibly lane-padded) stream.
 
     x: [B, N, D_any] with true feature width `dim` (default D_any) — pass a
     lane-padded stream (D_any = roundup(dim, 128), zero-filled) to skip the
     pad/unpad copies entirely; padded lanes are preserved as zeros.
     k, v: [B, H, M, hd] already projected (hd = dim/H).
-    Returns [B, N, D_any] = block(x) with residuals, in x.dtype.
+    Returns [B, N, D_any] = block(x) with residuals, in x.dtype; with
+    ln_next=(scale, bias) returns (out, LN_next(out)) so the next block's
+    K/V path skips its full-stream LayerNorm.
     """
     b, n, d_in = x.shape
     if dim is None:
@@ -211,9 +222,12 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
     # x/xf/normed/q/attn-out/hres/normed2/y2/out on d_pad lanes (~26 B/lane
     # incl. double-buffered in/out tiles), fp32 logits on m_pad, fp32+bf16
     # hidden on hid_pad.
+    emit_next = ln_next is not None
     fixed = (2 * d_pad * h * hd_pad + 2 * d_pad * hid_pad
              + 2 * h * m_pad * hd_pad) * 2
     per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 26 + hid_pad * 6
+    if emit_next:
+        per_row += d_pad * 4  # second (double-buffered bf16) output tile
     cap = max(64, (_VMEM_BUDGET - fixed) // per_row // 16 * 16)
     num_tiles = max(1, -(-n // cap))
     # prefer a tile that divides n exactly on a 16-row (sublane) boundary so
@@ -232,10 +246,26 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         assert d_in <= d_pad
         xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d_in)))
 
+    if emit_next:
+        gn = vec(ln_next[0], d_pad)
+        ben = vec(ln_next[1], d_pad)
+        kernel_fn = functools.partial(
+            _kernel, scale=scale, eps1=eps1, eps2=eps2,
+            dim=dim, kv_len=m, num_heads=h, emit_next=True)
+    else:
+        gn = jnp.zeros((1, d_pad), jnp.float32)
+        ben = jnp.zeros((1, d_pad), jnp.float32)
+
+        def kernel_fn(*refs):
+            # single output: pad the missing on_ref slot
+            _kernel(*refs, None, scale=scale, eps1=eps1, eps2=eps2,
+                    dim=dim, kv_len=m, num_heads=h, emit_next=False)
+
+    stream_spec = pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
     grid = (b, n_pad // tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, eps1=eps1, eps2=eps2,
-                          dim=dim, kv_len=m, num_heads=h),
+        kernel_fn,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -253,9 +283,13 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, hid_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hid_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), x.dtype),
+        out_specs=[stream_spec, stream_spec] if emit_next else stream_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((b, n_pad, d_pad), x.dtype)] * 2
+            if emit_next else jax.ShapeDtypeStruct((b, n_pad, d_pad), x.dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -265,8 +299,15 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=2 * b * n * d_pad * x.dtype.itemsize,
             transcendentals=b * n * (h * m_pad + hid_pad),
         ),
-    )(xp, kp, vp, wq2, bq2, wp2, bp2, g1, be1, g2, be2, w1p, b1p, w2p, b2p)
+    )(xp, kp, vp, wq2, bq2, wp2, bp2, g1, be1, g2, be2, w1p, b1p, w2p, b2p,
+      gn, ben)
 
+    if emit_next:
+        out, out_next = out
+        if d_in != d_pad or n_pad != n:
+            out = out[:, :n, :d_in]
+            out_next = out_next[:, :n, :d_in]
+        return out, out_next
     if d_in == d_pad and n_pad == n:
         return out
     return out[:, :n, :d_in]

@@ -108,3 +108,29 @@ def test_fused_block_padded_stream(rng):
     np.testing.assert_allclose(np.asarray(padded[..., :d]),
                                np.asarray(base), rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(padded[..., d:]), 0.0)
+
+
+def test_fused_block_ln_next_handoff(rng):
+    """ln_next: the kernel's second output must equal LN(out) under the
+    next block's norm params (the stage-loop KV handoff)."""
+    from mvlt_tpu.ops.block_fused import fused_block
+
+    n, d, h, m, hidden = 64, 64, 1, 24, 128
+    p = _mk(rng, n, d, h, m, hidden)
+    scale = (d // h) ** -0.5
+    kw = dict(scale=scale, eps1=1e-6, eps2=1e-6, num_heads=h)
+    args = (p["k"], p["v"], p["g1"], p["be1"], p["wq"], p["bq"], p["wp"],
+            p["bp"], p["g2"], p["be2"], p["w1"], p["b1"], p["w2"], p["b2"])
+    gn = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    ben = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+
+    base = _run_interpret(fused_block, p["x"], *args, **kw)
+    out, out_next = _run_interpret(fused_block, p["x"], *args, (gn, ben), **kw)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+    of = np.asarray(out, np.float64)
+    mu = of.mean(-1, keepdims=True)
+    var = of.var(-1, keepdims=True)
+    want = (of - mu) / np.sqrt(var + 1e-6) * np.asarray(gn) + np.asarray(ben)
+    np.testing.assert_allclose(np.asarray(out_next), want, rtol=2e-4, atol=2e-4)
