@@ -269,7 +269,8 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _xla_kv(self, x: jnp.ndarray, hw: tuple,
-                normed: Optional[jnp.ndarray] = None):
+                normed: Optional[jnp.ndarray] = None,
+                padded_out: bool = False):
         """K/V for the fused block kernels, computed in XLA: LN1 -> SR conv
         -> LN -> KV proj (libs/pvlt.py:100-108) over the reduced sequence.
 
@@ -278,7 +279,9 @@ class Block(nn.Module):
         zero input-channel rows, so no lane slice of the full stream is
         materialized.  ``normed`` skips the full-stream LayerNorm when the
         previous block's kernel already emitted LN1(x) (the ln_next
-        handoff, ops/block_fused.py).  Returns (k, v) as [B, H, M, hd]."""
+        handoff, ops/block_fused.py).  Returns (k, v, kv_len): [B, H, M, hd],
+        or with ``padded_out`` the fused kernel's layout
+        [B, H, roundup(M,128), 128] (pads folded into the concat/einsum)."""
         p = self.variables["params"]
         h, w = hw
         b, n, d_in = x.shape
@@ -332,16 +335,52 @@ class Block(nn.Module):
             vis = ((vf - vmu) * jax.lax.rsqrt(vvar + self.sr_ln_eps)
                    * ap["norm"]["scale"].astype(jnp.float32)
                    + ap["norm"]["bias"].astype(jnp.float32)).astype(dtype)
-            kv_in = jnp.concatenate([vis, normed[:, h * w :, :c]], axis=1)
+            text = normed[:, h * w :, :c]
+            m = vis.shape[1] + text.shape[1]
+            m_pad = -(-m // 128) * 128 if padded_out else m
+            parts = [vis, text]
+            if m_pad != m:
+                # fold the kernel's KV-length pad into this same concat
+                parts.append(jnp.zeros((b, m_pad - m, c), dtype))
+            kv_in = jnp.concatenate(parts, axis=1)
         else:
             kv_in = normed[..., :c] if d_in > c else normed
-        kv = jnp.einsum("bmc,ck->bmk", kv_in, ap["kv"]["kernel"].astype(dtype),
+            m = kv_in.shape[1]
+            m_pad = -(-m // 128) * 128 if padded_out else m
+            if m_pad != m:
+                kv_in = jnp.concatenate(
+                    [kv_in, jnp.zeros((b, m_pad - m, c), dtype)], axis=1)
+
+        wkv = ap["kv"]["kernel"].astype(dtype)          # [c, 2c]
+        bkv = ap["kv"].get("bias")
+        if padded_out:
+            # emit k/v directly in the fused kernel's padded layout
+            # [B, H, M_pad, 128]: zero-padded per-head weight columns skip
+            # the reshape/transpose/pad glue ops entirely
+            hd_pad = 128
+            wk = jnp.zeros((c, nh, hd_pad), dtype).at[:, :, :hd].set(
+                wkv[:, :c].reshape(c, nh, hd))
+            wv = jnp.zeros((c, nh, hd_pad), dtype).at[:, :, :hd].set(
+                wkv[:, c:].reshape(c, nh, hd))
+            k = jnp.einsum("bmc,chd->bhmd", kv_in, wk,
+                           preferred_element_type=jnp.float32)
+            v = jnp.einsum("bmc,chd->bhmd", kv_in, wv,
+                           preferred_element_type=jnp.float32)
+            if bkv is not None:
+                bk = jnp.zeros((nh, hd_pad), jnp.float32).at[:, :hd].set(
+                    bkv[:c].astype(jnp.float32).reshape(nh, hd))
+                bv = jnp.zeros((nh, hd_pad), jnp.float32).at[:, :hd].set(
+                    bkv[c:].astype(jnp.float32).reshape(nh, hd))
+                k = k + bk[None, :, None, :]
+                v = v + bv[None, :, None, :]
+            return k.astype(dtype), v.astype(dtype), m
+
+        kv = jnp.einsum("bmc,ck->bmk", kv_in, wkv,
                         preferred_element_type=jnp.float32)
-        if "bias" in ap["kv"]:
-            kv = kv + ap["kv"]["bias"].astype(jnp.float32)
-        m = kv_in.shape[1]
+        if bkv is not None:
+            kv = kv + bkv.astype(jnp.float32)
         kv = kv.astype(dtype).reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
-        return kv[0], kv[1]
+        return kv[0], kv[1], m
 
     def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
         """Inference path: LN1 -> Q-proj -> attention -> out-proj -> +res as
@@ -351,7 +390,7 @@ class Block(nn.Module):
         p = self.variables["params"]
         c = self.dim
         nh = self.num_heads
-        k, v = self._xla_kv(x, hw)
+        k, v, _ = self._xla_kv(x, hw)
         ap = p["attn"]
         return fused_block_attention(
             x, k, v,
@@ -377,7 +416,7 @@ class Block(nn.Module):
         p = self.variables["params"]
         c = self.dim
         nh = self.num_heads
-        k, v = self._xla_kv(x, hw, normed=kv_normed)
+        k, v, kv_len = self._xla_kv(x, hw, normed=kv_normed, padded_out=True)
         ap = p["attn"]
         mp = p["mlp"]
         return fused_block(
@@ -390,7 +429,7 @@ class Block(nn.Module):
             mp["fc2"]["kernel"], mp["fc2"]["bias"],
             ln_next,
             scale=(c // nh) ** -0.5, eps1=self.ln_eps, eps2=self.ln_eps,
-            num_heads=nh, dim=c,
+            num_heads=nh, dim=c, kv_len=kv_len,
         )
 
     @nn.compact

@@ -144,7 +144,7 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "eps1", "eps2",
-                                              "num_heads", "dim"))
+                                              "num_heads", "dim", "kv_len"))
 def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 ln1_scale: jax.Array, ln1_bias: jax.Array,
                 wq: jax.Array, bq: jax.Array,
@@ -154,13 +154,17 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 w2: jax.Array, b2: jax.Array,
                 ln_next: "tuple[jax.Array, jax.Array] | None" = None,
                 *, scale: float, eps1: float, eps2: float,
-                num_heads: int, dim: int | None = None):
+                num_heads: int, dim: int | None = None,
+                kv_len: int | None = None):
     """One full transformer block on a (possibly lane-padded) stream.
 
     x: [B, N, D_any] with true feature width `dim` (default D_any) — pass a
     lane-padded stream (D_any = roundup(dim, 128), zero-filled) to skip the
     pad/unpad copies entirely; padded lanes are preserved as zeros.
-    k, v: [B, H, M, hd] already projected (hd = dim/H).
+    k, v: [B, H, M, hd] already projected (hd = dim/H) — or already in the
+    kernel's padded layout [B, H, M_pad(128-mult), 128] with the true KV
+    length given as ``kv_len`` (the producer folds the pads into its own
+    einsum/concat; mvlt_tpu/models/pvlt.py _xla_kv padded_out path).
     Returns [B, N, D_any] = block(x) with residuals, in x.dtype; with
     ln_next=(scale, bias) returns (out, LN_next(out)) so the next block's
     K/V path skips its full-stream LayerNorm.
@@ -170,12 +174,13 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         dim = d_in
     h = num_heads
     hd = dim // h
-    m = k.shape[2]
-    assert k.shape[1] == h and k.shape[3] == hd
+    m = kv_len if kv_len is not None else k.shape[2]
+    assert k.shape[1] == h and k.shape[3] in (hd, 128)
 
     d_pad = _round_up(dim, 128)
     hd_pad = 128
     m_pad = _round_up(m, 128)
+    assert k.shape[2] in (m, m_pad)
     hidden = w1.shape[1]
     hid_pad = _round_up(hidden, 128)
 
@@ -210,12 +215,12 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
 
     kp = k.astype(dtype)
     vp = v.astype(dtype)
-    if hd_pad != hd:
+    if k.shape[3] != hd_pad:
         kp = jnp.pad(kp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
         vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
-    if m_pad != m:
-        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
-        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+    if kp.shape[2] != m_pad:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, m_pad - kp.shape[2]), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, m_pad - vp.shape[2]), (0, 0)))
 
     # Row tiling under the scoped-VMEM budget.  Fixed blocks (weights + KV,
     # broadcast to every step) come off the top; per-row fp32/bf16 live set:
