@@ -68,7 +68,7 @@ MFU_REF_T2I_CONVS = 0.15         # cuDNN 3x3 convs, 64-192 channels
 
 BATCH = 101            # one retrieval bundle — the protocol's serving unit,
                        # and the fastest batch on v5e (batch sweep in
-                       # tools/bench_sweep2.py: 101 > 202 > 404 > 808)
+                       # tools/probes/bench_sweep2.py: 101 > 202 > 404 > 808)
 WARMUP = 2
 ITERS = 24             # distinct staged batches scanned inside ONE jit
 REPEATS = 3            # timed scan dispatches; best is reported

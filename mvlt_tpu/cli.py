@@ -72,6 +72,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
+    p.add_argument("--parity-heads", action="store_true",
+                   help="retrieval eval pays the full pretrain-config forward "
+                        "(mlm decode + t2i head) per scored pair, exactly like "
+                        "the reference (engine_grid_masking.py:358); default "
+                        "scores with itm-only heads — identical ranks, ~2/3 "
+                        "fewer FLOPs per pair")
     p.add_argument("--eval-recognition", action="store_true")
     p.add_argument("--viz", action="store_true", help="dump qualitative samples")
     p.add_argument("--viz-samples", type=int, default=32)
@@ -149,6 +155,19 @@ def main(argv=None) -> None:
         from mvlt_tpu.eval.retrieval import evaluate_retrieval, make_itm_scorer
 
         direction = "itr" if args.eval_retrieval_itr else "tir"
+        if not args.parity_heads and (cfg.model.loss_type.mlm or cfg.model.loss_type.t2i
+                                      or cfg.model.loss_type.cls):
+            # TPU-first serving: score with itm-only heads.  The reference
+            # evaluates retrieval under the full pretrain config, paying the
+            # 30522-wide MLM decode and the T2I decoder per scored pair and
+            # discarding those logits (engine_grid_masking.py:358); ITM ranks
+            # are identical without them.  --parity-heads restores the
+            # reference behavior.  Checkpoint tensors for the dropped heads
+            # are intersected away on load (merge_params_by_path /
+            # convert_state_dict 'unmapped').
+            cfg = apply_overrides(
+                cfg, {"loss_type": {"itm": 1, "mlm": 0, "t2i": 0, "cls": 0}})
+            model = create_model(cfg.model)
         variables = _load_eval_variables(model, cfg, rng, mesh)
         dataset = FashionGenRetrieval(cfg.data.data_path, cfg.data, direction)
         scorer = make_itm_scorer(model, variables)
@@ -233,12 +252,23 @@ def main(argv=None) -> None:
             print(f"finetune init from {cfg.finetune}", flush=True)
 
     put = functools.partial(shard_batch, mesh)
+    device_masks = args.device_masks and cfg.data.mask_strategy == "random_grid"
+    # host-side H2D trimming: t2i_labels is emitted for reference batch-dict
+    # parity but never consumed (the loss compares against the full image);
+    # with --device-masks the step regenerates masked_images on device, so
+    # shipping it would pay the very transfer the flag eliminates.
+    drop_keys = ("t2i_labels",)
+    if device_masks or not cfg.model.loss_type.t2i:
+        # step regenerates masks on device / never reads masked input (CLS
+        # fine-tune trains on clean images every step, train/step.py)
+        drop_keys += ("masked_images",)
     loader = DataLoader(train_ds, sampler, host_batch, put_fn=put,
                         num_workers=cfg.data.num_workers,
-                        prefetch_depth=cfg.data.prefetch_depth)
+                        prefetch_depth=cfg.data.prefetch_depth,
+                        drop_keys=drop_keys)
     train_step = make_train_step(
         model, cfg.model,
-        device_masks=args.device_masks and cfg.data.mask_strategy == "random_grid",
+        device_masks=device_masks,
         mask_ratio=cfg.data.mask_ratio, mask_patch_size=cfg.data.mask_patch_size,
         # reference quirk (main_vl.py:435): fine-tuning from a checkpoint
         # trains with dropout/drop-path OFF (set_training_mode=finetune=='')
@@ -320,8 +350,14 @@ def _load_eval_variables(model, cfg: RunConfig, rng, mesh=None):
         if cfg.resume.endswith(".pth"):
             from mvlt_tpu.convert.torch_to_jax import convert_checkpoint
 
-            params = convert_checkpoint(cfg.resume, variables["params"])
-            variables = dict(variables, params=params)
+            if variables.get("batch_stats"):
+                # full checkpoints carry the ITG head's BN running stats
+                params, batch_stats = convert_checkpoint(
+                    cfg.resume, variables["params"], variables["batch_stats"])
+                variables = dict(variables, params=params, batch_stats=batch_stats)
+            else:
+                params = convert_checkpoint(cfg.resume, variables["params"])
+                variables = dict(variables, params=params)
         else:
             import orbax.checkpoint as ocp
 
@@ -334,9 +370,19 @@ def _load_eval_variables(model, cfg: RunConfig, rng, mesh=None):
                         path = os.path.join(path, cand)
                         break
             restored = ocp.StandardCheckpointer().restore(path)  # no template
-            variables = {"params": restored["params"]}
-            if restored.get("batch_stats"):
-                variables["batch_stats"] = restored["batch_stats"]
+            # intersect into the model's template: the eval model may carry
+            # fewer heads than the checkpoint (itm-only retrieval serving)
+            from mvlt_tpu.utils.checkpoint import merge_params_by_path
+
+            params, report = merge_params_by_path(variables["params"],
+                                                  restored["params"])
+            if not report["loaded"]:
+                raise ValueError(f"{path}: no checkpoint tensor matched the model tree")
+            variables = dict(variables, params=params)
+            if restored.get("batch_stats") and "batch_stats" in variables:
+                bs, _ = merge_params_by_path(variables["batch_stats"],
+                                             restored["batch_stats"])
+                variables["batch_stats"] = bs
     if mesh is not None:
         from mvlt_tpu.parallel.sharding import param_shardings
 

@@ -101,6 +101,10 @@ class ModelConfig:
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the
     # forced-fetch methodology (tools/bench_train_fusedmlp.py; the old
     # inference-only gate was decided on pre-2026-08-16 polluted timing).
+    # NB: the fused path draws its DropPath mask from Block-scope
+    # make_rng('dropout') while the unfused path draws inside the
+    # DropPath submodule — toggling this flag changes the stochastic-depth
+    # RNG stream, so A/B training runs won't have identical loss curves.
     fused_mlp_train: bool = True
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of

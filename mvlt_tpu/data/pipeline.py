@@ -47,11 +47,18 @@ class DataLoader:
       num_workers: decode threads (PIL/pickle release the GIL on I/O).
       drop_last: drop the trailing partial batch (True for training — static
         shapes mean no retrace).
+      drop_keys: batch keys removed host-side before put_fn — the H2D lever
+        behind --device-masks (the step regenerates masks on device, so
+        shipping ``masked_images`` would pay the transfer the flag exists to
+        eliminate) and for emitted-but-unconsumed labels (``t2i_labels``:
+        the loss compares against the full image, reference
+        engine_grid_masking.py:98-102).
     """
 
     def __init__(self, dataset, sampler, batch_size: int,
                  put_fn: Optional[Callable] = None, num_workers: int = 4,
-                 prefetch_depth: int = 2, drop_last: bool = True):
+                 prefetch_depth: int = 2, drop_last: bool = True,
+                 drop_keys: tuple = ()):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -59,6 +66,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)
         self.drop_last = drop_last
+        self.drop_keys = tuple(drop_keys)
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
@@ -85,6 +93,8 @@ class DataLoader:
                         chunk = indices[start: start + self.batch_size]
                         items = list(pool.map(self.dataset.__getitem__, chunk))
                         batch = collate(items)
+                        for key in self.drop_keys:
+                            batch.pop(key, None)
                         if self.put_fn is not None:
                             batch = self.put_fn(batch)
                         out_q.put(batch)

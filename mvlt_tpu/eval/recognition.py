@@ -20,14 +20,17 @@ from mvlt_tpu.eval.metrics import cls_metrics
 
 
 def make_cls_scorer(model, variables) -> Callable:
+    """``variables`` is a traced jit argument (not a baked closure constant)
+    — restores don't recompile; see make_itm_scorer."""
+
     @jax.jit
-    def score(images: jnp.ndarray, input_ids: jnp.ndarray):
+    def score(variables, images: jnp.ndarray, input_ids: jnp.ndarray):
         out = model.apply(variables, images, input_ids, train=False)
         sup = jnp.argmax(out["sup_cls_logits"].reshape(images.shape[0], -1), axis=-1)
         sub = jnp.argmax(out["sub_cls_logits"].reshape(images.shape[0], -1), axis=-1)
         return sup, sub
 
-    return score
+    return lambda images, input_ids: score(variables, images, input_ids)
 
 
 def evaluate_recognition(scorer: Callable, loader: Iterable,

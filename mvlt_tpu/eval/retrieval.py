@@ -27,15 +27,20 @@ FIXED_DENOM = 1000  # reference protocol constant (engine_grid_masking.py:393)
 
 
 def make_itm_scorer(model, variables) -> Callable:
-    """Jitted [N,...] pair scorer -> positive-class softmax prob [N]."""
+    """Jitted [N,...] pair scorer -> positive-class softmax prob [N].
+
+    ``variables`` is bound as a traced jit ARGUMENT, not a closure constant:
+    baking weights into the graph would recompile on every restore and can
+    double HBM while XLA constant-folds large models (same pattern as
+    make_vl_eval_fn)."""
 
     @jax.jit
-    def score(images: jnp.ndarray, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def score(variables, images: jnp.ndarray, input_ids: jnp.ndarray) -> jnp.ndarray:
         out = model.apply(variables, images, input_ids, train=False)
         logits = out["itm_logits"].reshape(-1, 2).astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
-    return score
+    return lambda images, input_ids: score(variables, images, input_ids)
 
 
 def rank_of_ground_truth(scores: np.ndarray) -> int:

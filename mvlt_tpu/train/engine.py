@@ -32,6 +32,12 @@ def train_one_epoch(train_step, state, loader: Iterable, rng,
     """Run one epoch; returns (state, stats dict of global averages)."""
     logger = MetricLogger(is_main=is_main)
     pending = None  # (step_idx, device metrics) — fetched one step late
+    # step index is tracked host-side: fetching int(state.step) each
+    # iteration would block on the just-dispatched step, serializing
+    # dispatch on this 1-core host (the benched pattern is donate +
+    # pipelined dispatch, tools/bench_train_step.py).  One blocking fetch
+    # before the loop only syncs on restore/init.
+    step_idx = int(state.step)
 
     for batch in logger.log_every(loader, log_every, header=f"Epoch [{epoch}]"):
         feed = {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -39,7 +45,8 @@ def train_one_epoch(train_step, state, loader: Iterable, rng,
 
         if pending is not None:
             _drain(pending, logger, lr_schedule)
-        pending = (int(state.step) - 1, metrics)
+        pending = (step_idx, metrics)
+        step_idx += 1
 
     if pending is not None:
         _drain(pending, logger, lr_schedule)

@@ -55,6 +55,39 @@ def test_cli_retrieval_itr(fake_tree, capsys):
     assert "acc@1" in out
 
 
+def test_cli_retrieval_resume_pth(fake_tree, tmp_path, capsys):
+    """README quick-start flow: --resume checkpoint_retrieval.pth drives the
+    torch.load+convert branch of _load_eval_variables (main_vl.py:327-346
+    semantics).  --parity-heads keeps the full pretrain heads so every
+    checkpoint tensor must map (zero unmapped)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from mvlt_tpu.cli import build_run_config, get_args_parser
+    from mvlt_tpu.convert.torch_to_jax import export_state_dict
+    from mvlt_tpu.models import create_model
+
+    args = get_args_parser().parse_args(ARGS)
+    cfg = build_run_config(args)
+    model = create_model(cfg.model)
+    imgs = jnp.zeros((1, cfg.data.input_size, cfg.data.input_size, 3), jnp.float32)
+    ids = jnp.zeros((1, cfg.model.num_text_tokens), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(5), imgs, ids)
+    sd = export_state_dict(variables["params"], variables.get("batch_stats"))
+    torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    pth = tmp_path / "checkpoint_retrieval.pth"
+    torch.save({"model": torch_sd, "epoch": 7}, str(pth))
+
+    from mvlt_tpu.cli import main
+
+    main(ARGS + ["--data-path", fake_tree, "--eval-retrieval-itr",
+                 "--parity-heads", "--resume", str(pth)])
+    out = capsys.readouterr().out
+    assert "retrieval ITR" in out and "acc@1" in out
+    assert "0 unmapped" in out  # convert_state_dict's verbose report
+
+
 def test_cli_retrieval_tir(fake_tree, capsys):
     from mvlt_tpu.cli import main
 

@@ -166,6 +166,31 @@ def test_dataloader_batches_and_prefetch():
     assert batches[0]["itm_labels"].shape == (8,)
 
 
+def test_dataloader_drop_keys_trims_device_batch():
+    """--device-masks' H2D saving: masked_images/t2i_labels must be removed
+    host-side, BEFORE put_fn, so the transfer actually disappears."""
+    from mvlt_tpu.data.fashion_gen import SyntheticFashionGen
+    from mvlt_tpu.data.pipeline import DataLoader
+    from mvlt_tpu.data.samplers import SequentialSampler
+
+    cfg = DataConfig(input_size=32, num_text_tokens=16,
+                     vocab_file=VOCAB, synthetic=True)
+    ds = SyntheticFashionGen(cfg, size=8)
+    seen_by_put = []
+
+    def put(batch):
+        seen_by_put.append(sorted(batch.keys()))
+        return batch
+
+    dl = DataLoader(ds, SequentialSampler(len(ds)), batch_size=4, put_fn=put,
+                    drop_keys=("masked_images", "t2i_labels"))
+    batches = list(dl)
+    assert batches and seen_by_put
+    for keys in seen_by_put:
+        assert "masked_images" not in keys and "t2i_labels" not in keys
+    assert "images" in batches[0] and "input_ids" in batches[0]
+
+
 def test_dataloader_propagates_worker_errors():
     from mvlt_tpu.data.pipeline import DataLoader
     from mvlt_tpu.data.samplers import SequentialSampler

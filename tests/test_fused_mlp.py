@@ -1,6 +1,6 @@
 """Fused LN-MLP kernel equivalence vs the unfused XLA path (interpret mode
 on CPU; the compiled on-device check lives in tools/tpu_attn_check.py's
-sibling tools/bench_fused_mlp.py)."""
+sibling tools/probes/bench_fused_mlp.py)."""
 
 from unittest import mock
 

@@ -1,6 +1,6 @@
 """Model-level A/B of the whole-block kernel's VMEM budget (tile fatness /
 grid step count) under the scan harness.  One budget per process:
-``python -m tools.bench_block_budget 4`` (MB).
+``python -m tools.probes.bench_block_budget 4`` (MB).
 """
 import sys
 import time

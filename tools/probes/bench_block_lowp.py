@@ -1,6 +1,6 @@
 """A/B: bf16 staging inside the whole-block kernel (halve VREG/VMEM traffic
 for intermediates) vs the shipped fp32-residual kernel, measured at model
-level under the scan harness.  ``python -m tools.bench_block_lowp``
+level under the scan harness.  ``python -m tools.probes.bench_block_lowp``
 """
 import functools
 import time
