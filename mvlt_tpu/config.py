@@ -106,6 +106,14 @@ class ModelConfig:
     # DropPath submodule — toggling this flag changes the stochastic-depth
     # RNG stream, so A/B training runs won't have identical loss curves.
     fused_mlp_train: bool = True
+    # GELU form inside the Pallas kernels: 'tanh' (default) or 'erf'.
+    # Measured on v5e: the A&S erf polynomial's fp32 divide costs ~1 ms per
+    # stage-1 block while the tanh form is free (tools/bench_block_vpu.py,
+    # scan harness); tanh's max error vs exact erf-GELU (4.7e-4 abs) is
+    # below the bf16 quantization noise the compute path already carries.
+    # XLA paths (fp32 CPU parity oracle, modular fallback) always use exact
+    # erf; 'erf' restores the A&S form in the kernels too.
+    kernel_gelu: str = "tanh"
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)

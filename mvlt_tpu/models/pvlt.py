@@ -44,6 +44,18 @@ from mvlt_tpu.ops.attention import multi_head_attention
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def fused_block_env_ok(*, use_pallas: bool, variant: str, linear_sr: bool,
+                       deterministic: bool, drop: float, attn_drop: float,
+                       is_initializing: bool) -> bool:
+    """Single source of truth for "may a fused Pallas block kernel run here":
+    shared by PVLT's stage-level lane-padding decision and Block's dispatch
+    so the two can't drift (a padded stream must never reach a non-'full'
+    path)."""
+    return (use_pallas and variant == "v1" and not linear_sr
+            and deterministic and not drop and not attn_drop
+            and not is_initializing and jax.default_backend() == "tpu")
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath, used at libs/pvlt.py:135)."""
 
@@ -264,6 +276,7 @@ class Block(nn.Module):
     linear_sr: bool = False
     block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto|full
     fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
+    kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -371,6 +384,10 @@ class Block(nn.Module):
                     bkv[:c].astype(jnp.float32).reshape(nh, hd))
                 bv = jnp.zeros((nh, hd_pad), jnp.float32).at[:, :hd].set(
                     bkv[c:].astype(jnp.float32).reshape(nh, hd))
+                # NB: the bias lands on the zero-padded KV-LENGTH rows too
+                # (rows >= m are bias-valued, not zero) — consumers MUST mask
+                # logits at col >= kv_len; never feed this layout to a kernel
+                # with kv_len=None
                 k = k + bk[None, :, None, :]
                 v = v + bv[None, :, None, :]
             return k.astype(dtype), v.astype(dtype), m
@@ -410,7 +427,8 @@ class Block(nn.Module):
 
         kv_normed: LN1(x) emitted by the previous block's kernel (skips the
         XLA full-stream LN in the K/V path).  ln_next: the NEXT block's
-        (norm1 scale, bias) — when given, returns (out, LN_next(out))."""
+        (norm1 scale, bias, ln_eps) — when given, returns
+        (out, LN_next(out))."""
         from mvlt_tpu.ops.block_fused import fused_block
 
         p = self.variables["params"]
@@ -427,9 +445,11 @@ class Block(nn.Module):
             p["norm2"]["scale"], p["norm2"]["bias"],
             mp["fc1"]["kernel"], mp["fc1"]["bias"],
             mp["fc2"]["kernel"], mp["fc2"]["bias"],
-            ln_next,
+            ln_next[:2] if ln_next is not None else None,
             scale=(c // nh) ** -0.5, eps1=self.ln_eps, eps2=self.ln_eps,
             num_heads=nh, dim=c, kv_len=kv_len,
+            eps_next=ln_next[2] if ln_next is not None else None,
+            gelu=self.kernel_gelu,
         )
 
     @nn.compact
@@ -446,18 +466,22 @@ class Block(nn.Module):
         # fused-LN-MLP, XLA projections) measured slightly faster than the
         # full block-attention megakernel on v5e (3379 vs 3333 pairs/s), so
         # 'none' is the default (ModelConfig.block_attn_kernel).
-        fused_env_ok = (
-            self.use_pallas and self.variant == "v1" and not self.linear_sr
-            and deterministic and not self.drop and not self.attn_drop
-            and not self.is_initializing() and jax.default_backend() == "tpu"
+        fused_env_ok = fused_block_env_ok(
+            use_pallas=self.use_pallas, variant=self.variant,
+            linear_sr=self.linear_sr, deterministic=deterministic,
+            drop=self.drop, attn_drop=self.attn_drop,
+            is_initializing=self.is_initializing(),
         )
         if fused_env_ok and self.block_attn == "full":
             # whole-block megakernel (possibly on a lane-padded stream —
             # PVLT pads once per stage when this path is active)
             return self._fused_full_block(x, hw, kv_normed=kv_normed,
                                           ln_next=ln_next)
-        assert x.shape[-1] == self.dim, (
-            "lane-padded stream reached a non-'full' block path")
+        if x.shape[-1] != self.dim:
+            raise ValueError(
+                f"lane-padded stream (width {x.shape[-1]} != dim {self.dim}) "
+                f"reached a non-'full' block path — the PVLT stage gate and "
+                f"Block dispatch disagree (fused_block_env_ok)")
         want_mega = self.block_attn == "mega" or (
             self.block_attn == "auto" and x.shape[1] >= 4000)
         if fused_env_ok and want_mega:
@@ -521,7 +545,7 @@ class Block(nn.Module):
                 p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
                 p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
                 row_scale,
-                eps=self.ln_eps,
+                eps=self.ln_eps, gelu=self.kernel_gelu,
             )
 
         normed = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
@@ -604,11 +628,11 @@ class PVLT(nn.Module):
         # call runs pad-free (each jnp.pad/slice around a pallas_call
         # materializes the full stream — at stage 1 the 64->128 lane pad
         # would otherwise cost more HBM traffic than the kernel body).
-        full_kernel = (
-            cfg.block_attn_kernel == "full" and cfg.use_pallas_attention
-            and cfg.variant == "v1" and not cfg.linear_sr and det
-            and not cfg.drop_rate and not cfg.attn_drop_rate
-            and not self.is_initializing() and jax.default_backend() == "tpu"
+        full_kernel = cfg.block_attn_kernel == "full" and fused_block_env_ok(
+            use_pallas=cfg.use_pallas_attention, variant=cfg.variant,
+            linear_sr=cfg.linear_sr, deterministic=det,
+            drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+            is_initializing=self.is_initializing(),
         )
         for i in range(cfg.num_stages):
             dim = cfg.embed_dims[i]
@@ -675,6 +699,7 @@ class PVLT(nn.Module):
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     block_attn=cfg.block_attn_kernel,
                     fused_mlp_train=cfg.fused_mlp_train,
+                    kernel_gelu=cfg.kernel_gelu,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
@@ -689,8 +714,12 @@ class PVLT(nn.Module):
                 for j in range(cfg.depths[i]):
                     ln_next = None
                     if j + 1 < cfg.depths[i]:
+                        # (scale, bias, eps) of the NEXT block's norm1 — eps
+                        # travels with the tuple so the handoff can't silently
+                        # apply the wrong epsilon if per-block eps ever
+                        # diverges (every Block currently gets block_ln_eps)
                         nxt = params[f"block{i + 1}_{j + 1}"]["norm1"]
-                        ln_next = (nxt["scale"], nxt["bias"])
+                        ln_next = (nxt["scale"], nxt["bias"], cfg.block_ln_eps)
                     out = mk_block(j)(x, (h, w), t_num, det,
                                       kv_normed, ln_next)
                     if ln_next is not None:

@@ -26,11 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvlt_tpu.ops.kernel_math import (one_pass_ln, round_up as _round_up,
+                                      softmax_av)
+
 _LOGITS_BUDGET = 4 * 1024 * 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref, g_ref, be_ref,
@@ -40,21 +39,9 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref, g_ref, be_ref,
     wq_ref: [D_pad, H*128]; wp_ref: [H*128, D_pad]."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
-    d_pad = x.shape[-1]
 
-    if dim < d_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
-        valid = col < dim
-        xz = jnp.where(valid, xf, 0.0)
-        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
-        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
-                      keepdims=True) / dim
-    else:
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-    normed = (normed * g_ref[0].astype(jnp.float32)
-              + be_ref[0].astype(jnp.float32)).astype(x.dtype)
+    normed = one_pass_ln(xf, dim, eps, g_ref[0].astype(jnp.float32),
+                         be_ref[0].astype(jnp.float32)).astype(x.dtype)
 
     q_all = (jax.lax.dot_general(
         normed, wq_ref[:],
@@ -62,28 +49,11 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref, g_ref, be_ref,
         preferred_element_type=jnp.float32,
     ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
 
-    m_pad = k_ref.shape[2]
-    needs_mask = kv_len < m_pad
     outs = []
     for h in range(num_heads):
         q_h = q_all[:, h * 128:(h + 1) * 128]
-        logits = jax.lax.dot_general(
-            q_h, k_ref[0, h],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < kv_len, logits, -jnp.inf)
-        row_max = jnp.max(logits, axis=-1, keepdims=True)
-        unnorm = jnp.exp(logits - row_max)
-        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-        probs = (unnorm / denom).astype(x.dtype)
-        outs.append(jax.lax.dot_general(
-            probs, v_ref[0, h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype))
+        outs.append(softmax_av(q_h, k_ref[0, h], v_ref[0, h],
+                               scale=scale, kv_len=kv_len, out_dtype=x.dtype))
     attn_out = jnp.concatenate(outs, axis=-1) if num_heads > 1 else outs[0]
 
     y = jax.lax.dot_general(

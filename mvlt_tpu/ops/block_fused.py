@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mvlt_tpu.ops.fused_mlp import _erf
+from mvlt_tpu.ops.kernel_math import (gelu as _gelu, one_pass_ln as _masked_ln,
+                                      round_up as _round_up, softmax_av)
 
 
 # scoped-VMEM budget for tile sizing (bytes); module-level so benches can
@@ -42,35 +43,13 @@ from mvlt_tpu.ops.fused_mlp import _erf
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _masked_ln(xf: jnp.ndarray, dim: int, eps: float,
-               gamma: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """fp32 LayerNorm over the first `dim` lanes of a padded [rows, d_pad]
-    tile; padded lanes produce garbage that every consumer masks via
-    zero-padded weight rows."""
-    d_pad = xf.shape[-1]
-    if dim < d_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
-        valid = col < dim
-        xz = jnp.where(valid, xf, 0.0)
-        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
-        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
-                      keepdims=True) / dim
-    else:
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
-
-
 def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
             g1_ref, be1_ref, g2_ref, be2_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, gn_ref, ben_ref,
             o_ref, on_ref,
             *, scale: float, eps1: float, eps2: float, dim: int,
-            kv_len: int, num_heads: int, emit_next: bool):
+            kv_len: int, num_heads: int, emit_next: bool,
+            eps_next: float = 0.0, gelu: str = "tanh"):
     """x_ref/o_ref: [1, TILE, D_pad]; k_ref/v_ref: [1, H, M_pad, 128];
     wq_ref: [D_pad, H*128]; wp_ref: [H*128, D_pad]; w1_ref: [D_pad, Hid_pad];
     w2_ref: [Hid_pad, D_pad].  With emit_next, on_ref additionally receives
@@ -88,28 +67,11 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
         preferred_element_type=jnp.float32,
     ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
 
-    m_pad = k_ref.shape[2]
-    needs_mask = kv_len < m_pad
     outs = []
     for h in range(num_heads):
         q_h = q_all[:, h * 128:(h + 1) * 128]
-        logits = jax.lax.dot_general(
-            q_h, k_ref[0, h],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < kv_len, logits, -jnp.inf)
-        row_max = jnp.max(logits, axis=-1, keepdims=True)
-        unnorm = jnp.exp(logits - row_max)
-        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-        probs = (unnorm / denom).astype(x.dtype)
-        outs.append(jax.lax.dot_general(
-            probs, v_ref[0, h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype))
+        outs.append(softmax_av(q_h, k_ref[0, h], v_ref[0, h],
+                               scale=scale, kv_len=kv_len, out_dtype=x.dtype))
     attn_out = jnp.concatenate(outs, axis=-1) if num_heads > 1 else outs[0]
 
     y = jax.lax.dot_general(
@@ -129,7 +91,7 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
-    hid = (0.5 * hid * (1.0 + _erf(hid * 0.7071067811865476))).astype(x.dtype)
+    hid = _gelu(hid, gelu).astype(x.dtype)
     y2 = jax.lax.dot_general(
         hid, w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -139,12 +101,13 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
     o_ref[0] = out.astype(o_ref.dtype)
     if emit_next:
         on_ref[0] = _masked_ln(
-            out, dim, eps1, gn_ref[0].astype(jnp.float32),
+            out, dim, eps_next, gn_ref[0].astype(jnp.float32),
             ben_ref[0].astype(jnp.float32)).astype(on_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "eps1", "eps2",
-                                              "num_heads", "dim", "kv_len"))
+                                              "num_heads", "dim", "kv_len",
+                                              "eps_next", "gelu"))
 def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 ln1_scale: jax.Array, ln1_bias: jax.Array,
                 wq: jax.Array, bq: jax.Array,
@@ -155,7 +118,8 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 ln_next: "tuple[jax.Array, jax.Array] | None" = None,
                 *, scale: float, eps1: float, eps2: float,
                 num_heads: int, dim: int | None = None,
-                kv_len: int | None = None):
+                kv_len: int | None = None,
+                eps_next: float | None = None, gelu: str = "tanh"):
     """One full transformer block on a (possibly lane-padded) stream.
 
     x: [B, N, D_any] with true feature width `dim` (default D_any) — pass a
@@ -256,7 +220,11 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         ben = vec(ln_next[1], d_pad)
         kernel_fn = functools.partial(
             _kernel, scale=scale, eps1=eps1, eps2=eps2,
-            dim=dim, kv_len=m, num_heads=h, emit_next=True)
+            dim=dim, kv_len=m, num_heads=h, emit_next=True, gelu=gelu,
+            # the NEXT block's LN1 epsilon — defaults to this block's eps1
+            # but is passed explicitly by PVLT so per-block eps divergence
+            # can't silently corrupt the handoff
+            eps_next=eps_next if eps_next is not None else eps1)
     else:
         gn = jnp.zeros((1, d_pad), jnp.float32)
         ben = jnp.zeros((1, d_pad), jnp.float32)
@@ -264,7 +232,8 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         def kernel_fn(*refs):
             # single output: pad the missing on_ref slot
             _kernel(*refs, None, scale=scale, eps1=eps1, eps2=eps2,
-                    dim=dim, kv_len=m, num_heads=h, emit_next=False)
+                    dim=dim, kv_len=m, num_heads=h, emit_next=False,
+                    gelu=gelu)
 
     stream_spec = pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
@@ -301,7 +270,13 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * (d_pad * h * hd_pad * 2 + h * m_pad * hd_pad * 2
                                + d_pad * hid_pad * 2),
-            bytes_accessed=2 * b * n * d_pad * x.dtype.itemsize,
+            # residual-stream read+write(s) + per-batch K/V broadcast (the
+            # K/V block re-DMAs when the grid's batch index advances; it
+            # dominates at small tiles) + one pass over the weight blocks
+            bytes_accessed=(
+                (3 if emit_next else 2) * b * n_pad * d_pad * x.dtype.itemsize
+                + b * 2 * h * m_pad * hd_pad * x.dtype.itemsize
+                + (2 * d_pad * h * hd_pad + 2 * d_pad * hid_pad) * x.dtype.itemsize),
             transcendentals=b * n * (h * m_pad + hid_pad),
         ),
     )(xp, kp, vp, wq2, bq2, wp2, bp2, g1, be1, g2, be2, w1p, b1p, w2p, b2p,

@@ -26,42 +26,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _erf(x: jax.Array) -> jax.Array:
-    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic
-    has no erf/erfc lowering; exp it does.  fp32 in/out."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+from mvlt_tpu.ops.kernel_math import erf as _erf
+from mvlt_tpu.ops.kernel_math import gelu as _gelu
+from mvlt_tpu.ops.kernel_math import gelu_grad as _gelu_grad
+from mvlt_tpu.ops.kernel_math import round_up as _round_up
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, s_ref, o_ref,
-            *, eps: float, dim: int):
+            *, eps: float, dim: int, gelu: str = "tanh"):
     """s_ref: [1, TILE] per-row residual-branch scale (DropPath mask/keep;
     all-ones when inactive)."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
     d_pad = x.shape[-1]
     if dim < d_pad:
-        # masked LN statistics over the real feature width
+        # masked one-pass LN statistics over the real feature width
         col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
-        valid = col < dim
-        xz = jnp.where(valid, xf, 0.0)
-        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
-        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
-                      keepdims=True) / dim
+        xz = jnp.where(col < dim, xf, 0.0)
     else:
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
+        xz = xf
+    mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
+    var = jnp.sum(xz * xz, axis=-1, keepdims=True) / dim - mean * mean
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
     normed = normed * g_ref[0].astype(jnp.float32) + be_ref[0].astype(jnp.float32)
     normed = normed.astype(x.dtype)
@@ -71,7 +56,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, s_ref, o_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
-    h = (0.5 * h * (1.0 + _erf(h * 0.7071067811865476))).astype(x.dtype)
+    h = _gelu(h, gelu).astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -84,21 +69,9 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref, s_ref, o_ref,
     o_ref[0] = (xf + y_scaled).astype(o_ref.dtype)
 
 
-def _gelu_erf(h):
-    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-
-
-def _gelu_erf_grad(h):
-    """d/dh [h * Phi(h)] = Phi(h) + h * phi(h), with Phi the standard-normal
-    CDF (= 0.5(1+erf(h/sqrt2))) and phi its density."""
-    cdf = 0.5 * (1.0 + _erf(h * 0.7071067811865476))
-    pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
-    return cdf + h * pdf
-
-
 def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
                     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, dbe_ref,
-                    *, eps: float, dim: int):
+                    *, eps: float, dim: int, gelu: str = "tanh"):
     """Backward grid step: recompute the forward chain for one row tile,
     emit dx for the tile and accumulate weight/LN grads (sequential grid,
     init at step 0).  All accumulation in fp32."""
@@ -121,18 +94,16 @@ def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
     gamma = g_ref[0].astype(jnp.float32)
     beta = be_ref[0].astype(jnp.float32)
 
-    # --- recompute forward ---
+    # --- recompute forward (one-pass LN stats, matching _kernel) ---
     if dim < d_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
         valid = col < dim
         xz = jnp.where(valid, xf, 0.0)
-        mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
-        var = jnp.sum(jnp.where(valid, (xf - mean) ** 2, 0.0), axis=-1,
-                      keepdims=True) / dim
     else:
         valid = None
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
+        xz = xf
+    mean = jnp.sum(xz, axis=-1, keepdims=True) / dim
+    var = jnp.sum(xz * xz, axis=-1, keepdims=True) / dim - mean * mean
     inv_std = jax.lax.rsqrt(var + eps)
     nhat = (xf - mean) * inv_std                       # [tile, D]
     if valid is not None:
@@ -141,7 +112,7 @@ def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
     h1 = (jax.lax.dot_general(normed, w1_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
           + b1_ref[0].astype(jnp.float32))             # [tile, H] fp32
-    g_act = _gelu_erf(h1).astype(x.dtype)
+    g_act = _gelu(h1, gelu).astype(x.dtype)
 
     # --- backward ---
     # y = x + g W2 + b2
@@ -152,7 +123,7 @@ def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
     dg_act = jax.lax.dot_general(
         dy.astype(x.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [tile, H]
-    dh1 = dg_act * _gelu_erf_grad(h1)
+    dh1 = dg_act * _gelu_grad(h1, gelu)
     db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True).astype(db1_ref.dtype)
     dh1b = dh1.astype(x.dtype)
     dw1_ref[...] += jax.lax.dot_general(
@@ -175,17 +146,19 @@ def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref, be_ref, s_ref,
     dx_ref[0] = (dy_out + dx_ln).astype(dx_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
-    return _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps=eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps, gelu):
+    return _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale,
+                              eps=eps, gelu=gelu)
 
 
-def _fused_ln_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
-    out = _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps=eps)
+def _fused_ln_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps, gelu):
+    out = _fused_ln_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale,
+                             eps=eps, gelu=gelu)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale)
 
 
-def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
+def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps, gelu):
     """Reference XLA expression (used for backward when the kernel's fixed
     VMEM blocks — weights + fp32 weight-grad outputs — don't fit)."""
     xf = x.astype(jnp.float32)
@@ -195,13 +168,13 @@ def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps):
            + ln_bias.astype(jnp.float32)).astype(x.dtype)
     h = jax.lax.dot_general(nrm, w1.astype(x.dtype), (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
-    h = _gelu_erf(h).astype(x.dtype)
+    h = _gelu(h, gelu).astype(x.dtype)
     y = jax.lax.dot_general(h, w2.astype(x.dtype), (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
     return (xf + row_scale.astype(jnp.float32)[:, None, None] * y).astype(x.dtype)
 
 
-def _fused_ln_mlp_bwd(eps, res, dy):
+def _fused_ln_mlp_bwd(eps, gelu, res, dy):
     x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale = res
     b, n, d = x.shape
     hdim = w1.shape[1]
@@ -212,7 +185,7 @@ def _fused_ln_mlp_bwd(eps, res, dy):
     fixed_bytes = d_pad * h_pad * (2 + 2 + 4 + 4)
     if fixed_bytes > 9 * 1024 * 1024:
         _, vjp = jax.vjp(
-            lambda *a: _xla_ln_mlp(*a, eps),
+            lambda *a: _xla_ln_mlp(*a, eps, gelu),
             x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale)
         return vjp(dy)
     rows = b * n
@@ -245,7 +218,7 @@ def _fused_ln_mlp_bwd(eps, res, dy):
 
     vec = lambda: pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, eps=eps, dim=d),
+        functools.partial(_mlp_bwd_kernel, eps=eps, dim=d, gelu=gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -302,20 +275,25 @@ def _expand_row_scale(row_scale, b, n, rows_pad):
 
 def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                  w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
-                 row_scale: jax.Array | None = None, *, eps: float = 1e-6) -> jax.Array:
+                 row_scale: jax.Array | None = None, *, eps: float = 1e-6,
+                 gelu: str = "tanh") -> jax.Array:
     """x: [B, N, D] -> x + row_scale * MLP(LN(x)); weights w1 [D, H],
     w2 [H, D]; row_scale [B] folds per-sample DropPath (None = ones).
     Differentiable: the backward is its own Pallas kernel accumulating
-    weight/LN grads across row tiles."""
+    weight/LN grads across row tiles.  ``gelu``: 'tanh' (default; the A&S
+    erf form's fp32 divide costs ~1 ms/block on v5e, ops/kernel_math.py)
+    or 'erf' (exact-parity escape hatch, ModelConfig.kernel_gelu)."""
     if row_scale is None:
         row_scale = jnp.ones((x.shape[0],), jnp.float32)
-    return _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale, eps)
+    return _fused_ln_mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, row_scale,
+                             eps, gelu)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "gelu"))
 def _fused_ln_mlp_impl(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                        w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
-                       row_scale: jax.Array, *, eps: float = 1e-6) -> jax.Array:
+                       row_scale: jax.Array, *, eps: float = 1e-6,
+                       gelu: str = "tanh") -> jax.Array:
     b, n, d = x.shape
     hdim = w1.shape[1]
     w1 = w1.astype(x.dtype)
@@ -357,7 +335,7 @@ def _fused_ln_mlp_impl(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     grid = (rows_pad // tile,)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, dim=d),
+        functools.partial(_kernel, eps=eps, dim=d, gelu=gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -1,0 +1,123 @@
+"""Shared in-kernel math for the Pallas kernel ladder.
+
+Everything here is shaped by one measurement: on v5e the whole-block kernel's
+gap to its matmul floor is pure VPU time, and the fp32 **divide** is the
+single most expensive element-wise op (tools/bench_block_vpu.py, scan
+harness, stage-1 shapes, ms/block):
+
+    full (A&S erf GELU)     4.644      erf minus its exp     4.666 (!)
+    exp alone               3.619      tanh GELU             3.604
+    identity GELU           3.598      no softmax            3.294
+    no LayerNorms           2.967      matmuls only          ~1.0
+
+  * The A&S erf polynomial costs 1.05 ms/block and the cost is its
+    ``1/(1+p|x|)`` divide, NOT the exp (removing the exp changes nothing;
+    exp alone is free).  The tanh-form GELU measures identical to an
+    identity activation, and its max error vs exact erf-GELU (4.7e-4 abs)
+    is below the bf16 quantization noise the compute path already carries,
+    so kernels default to it (ModelConfig.kernel_gelu; "erf" restores the
+    A&S form and is what the fp32 XLA paths always use).
+  * Softmax: fold log2(e) into the logit scale and use exp2; apply the
+    normalizer AFTER the P@V matmul (divide [rows, 128] once instead of
+    [rows, M_pad]) — 0.26 ms/block.
+  * LayerNorm: one-pass sum/sum-of-squares statistics instead of
+    jnp.mean + jnp.var (which walks the tile twice more).  Cancellation
+    error is ~1e-7 * mean^2/var — far below bf16 output resolution for
+    residual-stream magnitudes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LOG2E = 1.4426950408889634
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def erf(x: jax.Array) -> jax.Array:
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic
+    has no erf/erfc lowering; exp it does.  fp32 in/out.  NB: contains an
+    fp32 divide — expensive on the VPU; kernels prefer gelu(kind='tanh')."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+_TANH_C = 0.7978845608028654  # sqrt(2/pi)
+_TANH_K = 0.044715
+
+
+def gelu(h: jax.Array, kind: str = "tanh") -> jax.Array:
+    """GELU on fp32, selectable form (see module docstring for the policy)."""
+    if kind == "tanh":
+        return 0.5 * h * (1.0 + jnp.tanh(_TANH_C * (h + _TANH_K * h * h * h)))
+    if kind == "erf":
+        return 0.5 * h * (1.0 + erf(h * 0.7071067811865476))
+    raise ValueError(f"unknown gelu kind {kind!r}")
+
+
+def gelu_grad(h: jax.Array, kind: str = "tanh") -> jax.Array:
+    """d gelu(h) / dh, matching the forward ``kind`` exactly."""
+    if kind == "tanh":
+        u = _TANH_C * (h + _TANH_K * h * h * h)
+        t = jnp.tanh(u)
+        du = _TANH_C * (1.0 + 3.0 * _TANH_K * h * h)
+        return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * du
+    if kind == "erf":
+        cdf = 0.5 * (1.0 + erf(h * 0.7071067811865476))
+        pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
+        return cdf + h * pdf
+    raise ValueError(f"unknown gelu kind {kind!r}")
+
+
+def one_pass_ln(xf: jax.Array, dim: int, eps: float,
+                gamma: jax.Array, beta: jax.Array) -> jax.Array:
+    """fp32 LayerNorm over the first ``dim`` lanes of a (possibly
+    lane-padded) [rows, d_pad] tile, single-pass statistics.  Padded lanes
+    produce garbage that every consumer masks via zero-padded weight rows."""
+    d_pad = xf.shape[-1]
+    if dim < d_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+        xz = jnp.where(col < dim, xf, 0.0)
+    else:
+        xz = xf
+    s1 = jnp.sum(xz, axis=-1, keepdims=True)
+    s2 = jnp.sum(xz * xz, axis=-1, keepdims=True)
+    mean = s1 / dim
+    var = s2 / dim - mean * mean
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def softmax_av(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
+               scale: float, kv_len: int, out_dtype) -> jax.Array:
+    """softmax(q k^T * scale) @ v for one head, VPU-lean form:
+    log2(e) folded into the scale, exp2, and the softmax normalizer applied
+    to the [rows, hd] output of P@V instead of the [rows, M_pad] P.
+    fp32 logits; P@V accumulates fp32; returns out_dtype."""
+    m_pad = k_h.shape[0]
+    logits = jax.lax.dot_general(
+        q_h, k_h,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * LOG2E)
+    if kv_len < m_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp2(logits - row_max)            # exp2(-inf) == 0: mask holds
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        unnorm.astype(v_h.dtype), v_h,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
+    return out.astype(out_dtype)

@@ -36,12 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvlt_tpu.ops.kernel_math import LOG2E, round_up as _round_up, softmax_av
+
 # per-step VMEM budget for the fp32 logits scratch (bytes)
 _LOGITS_BUDGET = 6 * 1024 * 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
@@ -50,30 +48,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
 
     q_ref/o_ref: [1, H, TILE_N, D]   k_ref/v_ref: [1, H, M_pad, D]
     """
-    m_pad = k_ref.shape[2]
-    needs_mask = kv_len < m_pad
     for h in range(num_heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        logits = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if needs_mask:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < kv_len, logits, -jnp.inf)
-        row_max = jnp.max(logits, axis=-1, keepdims=True)
-        unnorm = jnp.exp(logits - row_max)
-        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-        probs = (unnorm / denom).astype(v.dtype)
-        out = jax.lax.dot_general(
-            probs, v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, h] = out.astype(o_ref.dtype)
+        o_ref[0, h] = softmax_av(q_ref[0, h], k_ref[0, h], v_ref[0, h],
+                                 scale=scale, kv_len=kv_len,
+                                 out_dtype=o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
@@ -98,14 +76,16 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         v = v_ref[0, h]
         do = do_ref[0, h].astype(jnp.float32)
 
+        # exp2 with log2(e) folded into the scale (kernel_math policy); the
+        # backward needs P explicitly, so the normalizer division stays
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         if kv_len < m_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < kv_len, logits, -jnp.inf)
         row_max = jnp.max(logits, axis=-1, keepdims=True)
-        unnorm = jnp.exp(logits - row_max)
+        unnorm = jnp.exp2(logits - row_max)
         p = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)  # fp32 [tile, m]
 
         pb = p.astype(q.dtype)

@@ -27,12 +27,14 @@ def _run_interpret(fn, *args, **kwargs):
 
 
 def _ref_block(x, k, v, g1, be1, wq, bq, wp, bp, g2, be2, w1, b1, w2, b2,
-               scale, eps1, eps2, nh):
+               scale, eps1, eps2, nh, gelu="erf"):
     """Unfused block: x + proj(attn(LN1 x)) then + mlp(LN2 .)."""
     from mvlt_tpu.models.heads import erf_gelu
 
     b, n, d = x.shape
     hd = d // nh
+    act = erf_gelu if gelu == "erf" else (
+        lambda t: jax.nn.gelu(t, approximate=True))
 
     def ln(t, g, be, eps):
         tf = t.astype(jnp.float32)
@@ -48,7 +50,7 @@ def _ref_block(x, k, v, g1, be1, wq, bq, wp, bp, g2, be2, w1, b1, w2, b2,
     attn = attn.transpose(0, 2, 1, 3).reshape(b, n, d)
     h = x.astype(jnp.float32) + (attn @ wp + bp)
     normed2 = ln(h, g2, be2, eps2)
-    y = erf_gelu(normed2 @ w1 + b1) @ w2 + b2
+    y = act(normed2 @ w1 + b1) @ w2 + b2
     return h + y
 
 
@@ -66,23 +68,28 @@ def _mk(rng, n, d, h, m, hidden):
     )
 
 
+@pytest.mark.parametrize("gelu", ["erf", "tanh"])
 @pytest.mark.parametrize("n,d,h,m,hidden", [
     (96, 64, 1, 24, 512),      # stage-1-like: lane pad 64->128, mlp x8
     (48, 128, 2, 24, 256),     # aligned dim
     (32, 320, 5, 20, 640),     # stage-3-like: 320->384 pad
 ])
-def test_fused_block_matches_xla(rng, n, d, h, m, hidden):
+def test_fused_block_matches_xla(rng, n, d, h, m, hidden, gelu):
+    """Both GELU forms check against their own matching XLA oracle
+    (ModelConfig.kernel_gelu policy, ops/kernel_math.py)."""
     from mvlt_tpu.ops.block_fused import fused_block
 
     p = _mk(rng, n, d, h, m, hidden)
     scale = (d // h) ** -0.5
     want = _ref_block(p["x"], p["k"], p["v"], p["g1"], p["be1"], p["wq"],
                       p["bq"], p["wp"], p["bp"], p["g2"], p["be2"], p["w1"],
-                      p["b1"], p["w2"], p["b2"], scale, 1e-6, 1e-6, h)
+                      p["b1"], p["w2"], p["b2"], scale, 1e-6, 1e-6, h,
+                      gelu=gelu)
     got = _run_interpret(
         fused_block, p["x"], p["k"], p["v"], p["g1"], p["be1"], p["wq"],
         p["bq"], p["wp"], p["bp"], p["g2"], p["be2"], p["w1"], p["b1"],
-        p["w2"], p["b2"], scale=scale, eps1=1e-6, eps2=1e-6, num_heads=h)
+        p["w2"], p["b2"], scale=scale, eps1=1e-6, eps2=1e-6, num_heads=h,
+        gelu=gelu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 

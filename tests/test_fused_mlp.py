@@ -23,8 +23,9 @@ def _run_interpret(fn, *args, **kwargs):
         return fn(*args, **kwargs)
 
 
+@pytest.mark.parametrize("gelu", ["erf", "tanh"])
 @pytest.mark.parametrize("n,d,ratio", [(96, 64, 8), (40, 320, 4)])
-def test_fused_ln_mlp_matches_xla(rng, n, d, ratio):
+def test_fused_ln_mlp_matches_xla(rng, n, d, ratio, gelu):
     from mvlt_tpu.ops.fused_mlp import fused_ln_mlp
 
     h = d * ratio
@@ -41,12 +42,14 @@ def test_fused_ln_mlp_matches_xla(rng, n, d, ratio):
         mu = x.mean(-1, keepdims=True)
         var = x.var(-1, keepdims=True)
         nrm = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
-        hid = jax.nn.gelu(nrm @ w1 + b1, approximate=False)
+        hid = jax.nn.gelu(nrm @ w1 + b1, approximate=gelu == "tanh")
         return x + (hid @ w2 + b2)
 
     want = ref(x)
-    got = _run_interpret(fused_ln_mlp, x, g, be, w1, b1, w2, b2, eps=1e-6)
-    # the in-kernel erf is the A&S 7.1.26 polynomial (1.5e-7 abs err)
+    got = _run_interpret(fused_ln_mlp, x, g, be, w1, b1, w2, b2, eps=1e-6,
+                         gelu=gelu)
+    # each gelu form checks against its own matching XLA oracle (the
+    # in-kernel erf is the A&S 7.1.26 polynomial, 1.5e-7 abs err)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
@@ -62,9 +65,10 @@ def test_erf_approximation_accuracy():
     assert np.abs(got - want).max() < 1e-6
 
 
-def test_fused_ln_mlp_grad_matches_xla(rng):
+@pytest.mark.parametrize("gelu", ["erf", "tanh"])
+def test_fused_ln_mlp_grad_matches_xla(rng, gelu):
     """Custom-VJP backward kernel (dx + all weight/LN grads) vs jax.grad
-    through the XLA reference chain."""
+    through the XLA reference chain, for both GELU forms."""
     import jax
 
     from mvlt_tpu.ops import fused_mlp
@@ -84,13 +88,14 @@ def test_fused_ln_mlp_grad_matches_xla(rng):
         mu = x.mean(-1, keepdims=True)
         var = x.var(-1, keepdims=True)
         nrm = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
-        hid = jax.nn.gelu(nrm @ w1 + b1, approximate=False)
+        hid = jax.nn.gelu(nrm @ w1 + b1, approximate=gelu == "tanh")
         return jnp.sum((x + (hid @ w2 + b2)) * cot)
 
     want = jax.grad(ref_loss, argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
 
     def fused_loss(x, g, be, w1, b1, w2, b2):
-        return jnp.sum(fused_mlp.fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps=1e-6) * cot)
+        return jnp.sum(fused_mlp.fused_ln_mlp(x, g, be, w1, b1, w2, b2,
+                                              eps=1e-6, gelu=gelu) * cot)
 
     got = _run_interpret(lambda: jax.grad(fused_loss, argnums=tuple(range(7)))(
         x, g, be, w1, b1, w2, b2))

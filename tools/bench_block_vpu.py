@@ -1,8 +1,14 @@
 """VPU-cost ablation inside the whole-block kernel at stage-1 shapes.
 
-Builds local kernel variants (full / no-GELU / no-softmax / no-LN / matmuls
-only) to attribute the gap between the kernel's ~4.3 ms and its ~1 ms MXU
-roofline.  ``python -m tools.bench_block_vpu``
+Builds local kernel variants (full / GELU variants / no-softmax / no-LN /
+matmuls only) to attribute the gap between the kernel's measured time and
+its ~1 ms MXU roofline.  Timing: the kernel is lax.scan'ed over NBUF staged
+distinct buffers inside ONE jit — a single dispatch, device-only time (the
+per-dispatch variant of this probe showed a ~20 ms first-mode artifact from
+lazy input materialization on the tunnel backend; the scan harness is the
+only methodology this rig can't distort, CLAUDE.md).
+
+``python -m tools.bench_block_vpu [modes...]``
 """
 import functools
 import time
@@ -23,11 +29,10 @@ TILE = 1408
 rng = np.random.default_rng(0)
 mk16 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1, jnp.bfloat16)
 
-# distinct input buffers cycled per dispatch: same-input pipelined timing
-# can report impossible numbers on this rig (result caching in the tunnel
-# path) — tools/bench_serve_ablate.py discussion, 2026-08-16
-NBUF = 6
-xs = [mk16(B, N // TILE, TILE, D_PAD) for _ in range(NBUF)]
+NBUF = 8           # distinct staged buffers scanned inside one jit
+SCAN_REPS = 3      # scan passes over the buffers inside the same jit
+
+xs = mk16(NBUF, B, N // TILE, TILE, D_PAD)
 k = mk16(B, M_PAD, 128)
 v = mk16(B, M_PAD, 128)
 wq = mk16(D_PAD, 128)
@@ -50,14 +55,26 @@ def kernel(x_ref, k_ref, v_ref, wq_ref, wp_ref, w1_ref, w2_ref, o_ref, *,
                             preferred_element_type=jnp.float32).astype(xt.dtype)
     logits = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * 0.125
-    if mode != "nosoftmax":
+    if mode == "exp2softmax":
+        # exp2 with the log2(e) folded into the scale; skip the division by
+        # scaling the output instead (denominator applied post-AV)
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp2((logits - row_max) * 1.4426950408889634)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        probs = unnorm.astype(xt.dtype)
+    elif mode != "nosoftmax":
         row_max = jnp.max(logits, axis=-1, keepdims=True)
         unnorm = jnp.exp(logits - row_max)
+        denom = None
         probs = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(xt.dtype)
     else:
+        denom = None
         probs = logits.astype(xt.dtype)
     attn = jax.lax.dot_general(probs, v_ref[0], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32).astype(xt.dtype)
+                               preferred_element_type=jnp.float32)
+    if mode == "exp2softmax":
+        attn = attn / denom
+    attn = attn.astype(xt.dtype)
     y = jax.lax.dot_general(attn, wp_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     hres = xf + y
@@ -69,8 +86,26 @@ def kernel(x_ref, k_ref, v_ref, wq_ref, wp_ref, w1_ref, w2_ref, o_ref, *,
         normed2 = hres.astype(xt.dtype)
     hid = jax.lax.dot_general(normed2, w1_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    if mode == "full":
+    if mode in ("full", "exp2softmax"):
         hid = (0.5 * hid * (1.0 + _erf(hid * 0.7071067811865476))).astype(xt.dtype)
+    elif mode == "erf_noexp":
+        # A&S polynomial with the exp(-x^2) factor replaced by a constant:
+        # isolates whether the exp or the divide/sign plumbing costs
+        a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                              -1.453152027, 1.061405429)
+        p = 0.3275911
+        ax = jnp.abs(hid * 0.7071067811865476)
+        t = 1.0 / (1.0 + p * ax)
+        poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+        e = jnp.sign(hid) * (1.0 - poly * 0.5)
+        hid = (0.5 * hid * (1.0 + e)).astype(xt.dtype)
+    elif mode == "exp_only":
+        hid = (hid * jnp.exp(-hid * hid * 0.5)).astype(xt.dtype)
+    elif mode == "tanh_gelu":
+        c = 0.7978845608028654
+        hid = (0.5 * hid * (1.0 + jnp.tanh(c * (hid + 0.044715 * hid ** 3)))).astype(xt.dtype)
+    elif mode == "logistic_erf":
+        hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(xt.dtype)
     elif mode == "relu":
         hid = jnp.maximum(hid, 0.0).astype(xt.dtype)
     else:
@@ -98,22 +133,33 @@ def run(mode):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )
-    fn = jax.jit(lambda *a: f(*a))
-    probe = jax.jit(lambda o: o.ravel()[0])
-    np.asarray(probe(fn(xs[0], k, v, wq, wp, w1, w2)))
-    # NB: on this rig block_until_ready does NOT force execution of
-    # standalone dispatches (lazy backend) — fetch a probe of EVERY output
-    # or the loop times only host dispatch (CLAUDE.md).
-    for iters in (10, 30):
+
+    @jax.jit
+    def scanned(xs):
+        def step(acc, x):
+            out = f(x, k, v, wq, wp, w1, w2)
+            return acc + out[0, 0, 0, :8].astype(jnp.float32).sum(), None
+
+        acc = jnp.float32(0.0)
+        for _ in range(SCAN_REPS):
+            acc, _ = jax.lax.scan(step, acc, xs)
+        return acc
+
+    np.asarray(scanned(xs))  # compile + warm (forces result)
+    dt = 1e9
+    for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn(xs[i % NBUF], k, v, wq, wp, w1, w2) for i in range(iters)]
-        np.asarray(jnp.stack([probe(o) for o in outs]))
-        dt = time.perf_counter() - t0
-        if iters == 10:
-            t10 = dt
-    slope = (dt - t10) / 20 * 1000
-    print(f"{mode:10s}: {dt/30*1000:.2f} ms/iter (slope {slope:.2f})", flush=True)
+        np.asarray(scanned(xs))
+        dt = min(dt, time.perf_counter() - t0)
+    per_iter = dt / (NBUF * SCAN_REPS) * 1000
+    print(f"{mode:12s}: {per_iter:.3f} ms/iter (device-true scan)", flush=True)
 
 
-for m in ("full", "relu", "nogelu", "nosoftmax", "noln"):
-    run(m)
+if __name__ == "__main__":
+    import sys
+
+    modes = sys.argv[1:] or ["full", "relu", "nogelu", "tanh_gelu",
+                             "logistic_erf", "erf_noexp", "exp_only",
+                             "exp2softmax", "nosoftmax", "noln", "full"]
+    for m in modes:
+        run(m)
