@@ -106,6 +106,17 @@ class ModelConfig:
     # DropPath submodule — toggling this flag changes the stochastic-depth
     # RNG stream, so A/B training runs won't have identical loss curves.
     fused_mlp_train: bool = True
+    # use the fused attention half-block (LN1+Q+attn+proj+residual, custom
+    # Pallas VJP, ops/block_attention.py) in TRAINING; DropPath folds in as
+    # a per-sample row scale.  Same RNG-stream caveat as fused_mlp_train.
+    # Default OFF by measurement: 128.6 (on) vs 124.4 (off) ms/step at
+    # B=150 on v5e (tools/bench_train_fusedattn.py, forced-fetch slope) —
+    # the backward kernel's full forward recompute plus its sequential
+    # (batch x tile) accumulation grid loses to XLA autodiff's
+    # save-activations schedule at these shapes.  The kernel + custom VJP
+    # stay available (and tested) for memory-bound regimes where the saved
+    # full-stream activations matter more than the recompute.
+    fused_attn_train: bool = False
     # GELU form inside the Pallas kernels: 'tanh' (default) or 'erf'.
     # Measured on v5e: the A&S erf polynomial's fp32 divide costs ~1 ms per
     # stage-1 block while the tanh form is free (tools/bench_block_vpu.py,

@@ -276,6 +276,7 @@ class Block(nn.Module):
     linear_sr: bool = False
     block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto|full
     fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
+    fused_attn_train: bool = False  # ModelConfig.fused_attn_train
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
@@ -399,9 +400,12 @@ class Block(nn.Module):
         kv = kv.astype(dtype).reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         return kv[0], kv[1], m
 
-    def _fused_attention_half(self, x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
-        """Inference path: LN1 -> Q-proj -> attention -> out-proj -> +res as
-        one Pallas megakernel (mvlt_tpu/ops/block_attention.py)."""
+    def _fused_attention_half(self, x: jnp.ndarray, hw: tuple,
+                              row_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """LN1 -> Q-proj -> attention -> out-proj -> +res as one Pallas
+        megakernel (mvlt_tpu/ops/block_attention.py).  Differentiable (custom
+        VJP) — used by the 'mega' inference mode AND the training path, where
+        ``row_scale`` folds the per-sample DropPath."""
         from mvlt_tpu.ops.block_attention import fused_block_attention
 
         p = self.variables["params"]
@@ -414,8 +418,19 @@ class Block(nn.Module):
             p["norm1"]["scale"], p["norm1"]["bias"],
             ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
             ap["proj"]["kernel"], ap["proj"]["bias"],
+            row_scale,
             scale=(c // nh) ** -0.5, eps=self.ln_eps, num_heads=nh,
         )
+
+    def _drop_path_row_scale(self, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """Per-sample stochastic-depth mask as a kernel row scale (same
+        semantics as DropPath; drawn from Block-scope make_rng('dropout') —
+        see the kernel_gelu/fused_mlp_train RNG-stream note in config.py)."""
+        if self.drop_path == 0.0:
+            return None
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (x.shape[0],))
+        return mask.astype(jnp.float32) / keep
 
     def _fused_full_block(self, x: jnp.ndarray, hw: tuple,
                           kv_normed: Optional[jnp.ndarray] = None,
@@ -484,8 +499,20 @@ class Block(nn.Module):
                 f"Block dispatch disagree (fused_block_env_ok)")
         want_mega = self.block_attn == "mega" or (
             self.block_attn == "auto" and x.shape[1] >= 4000)
+        # training path: the same fused attention half-block, via its custom
+        # VJP (backward is a Pallas kernel too); DropPath folds in as a
+        # per-sample row scale exactly like the fused MLP
+        fused_attn_train_ok = (
+            self.fused_attn_train and not deterministic
+            and self.use_pallas and self.variant == "v1"
+            and not self.drop and not self.attn_drop
+            and not self.is_initializing() and jax.default_backend() == "tpu"
+        )
         if fused_env_ok and want_mega:
             x = self._fused_attention_half(x, hw)
+        elif fused_attn_train_ok:
+            x = self._fused_attention_half(x, hw,
+                                           row_scale=self._drop_path_row_scale(x))
         elif self.variant == "swin":
             from mvlt_tpu.models.swin import SwinJointAttention
 
@@ -699,6 +726,7 @@ class PVLT(nn.Module):
                     linear_sr=cfg.linear_sr and cfg.sr_ratios[i] > 1,
                     block_attn=cfg.block_attn_kernel,
                     fused_mlp_train=cfg.fused_mlp_train,
+                    fused_attn_train=cfg.fused_attn_train,
                     kernel_gelu=cfg.kernel_gelu,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA

@@ -121,11 +121,21 @@ def gathered_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray
     if capacity >= n:
         return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
     valid = labs != MLM_IGNORE_INDEX
-    # stable partition: labeled rows first (False sorts before True)
-    order = jnp.argsort(~valid)
-    idx = order[:capacity]
-    sel_rows = jnp.take(rows, idx, axis=0)
-    sel_labs = jnp.take(labs, idx, axis=0)
+    # Stable partition of labeled rows to the front WITHOUT a sort: an
+    # argsort over B*T rows lowers to a bitonic sort network on TPU, while
+    # a prefix-sum + scatter is linear.  dest[i] = rank of row i among
+    # labeled rows (overflow and unlabeled rows land in the discard slot);
+    # unfilled capacity slots keep index n -> the appended dummy row whose
+    # label is the ignore index, so the mean is exact.
+    pos = jnp.cumsum(valid) - 1
+    dest = jnp.where(valid & (pos < capacity), pos, capacity)
+    idx = jnp.full((capacity + 1,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
+    rows_ext = jnp.concatenate([rows, jnp.zeros((1, h), rows.dtype)], axis=0)
+    labs_ext = jnp.concatenate(
+        [labs, jnp.full((1,), MLM_IGNORE_INDEX, labs.dtype)], axis=0)
+    sel_rows = jnp.take(rows_ext, idx, axis=0)
+    sel_labs = jnp.take(labs_ext, idx, axis=0)
     return chunked_mlm_loss(sel_rows[None], table, bias, sel_labs[None], chunk=chunk)
 
 

@@ -50,6 +50,105 @@ def test_fused_block_attention_matches_xla(rng, n, d, h, m):
         return x + (o @ wp + bp)
 
     want = ref(x)
-    got = _run_interpret(fused_block_attention.__wrapped__, x, k, v, g, be,
+    got = _run_interpret(fused_block_attention, x, k, v, g, be,
                          wq, bq, wp, bp, scale=scale, eps=1e-6, num_heads=h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def _mk_params(rng, b, n, d, h, m):
+    hd = d // h
+    return dict(
+        x=jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32),
+        k=jnp.asarray(rng.normal(size=(b, h, m, hd)), jnp.float32),
+        v=jnp.asarray(rng.normal(size=(b, h, m, hd)), jnp.float32),
+        g=jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32),
+        be=jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32),
+        wq=jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+        bq=jnp.asarray(rng.normal(size=(d,)) * 0.05, jnp.float32),
+        wp=jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32),
+        bp=jnp.asarray(rng.normal(size=(d,)) * 0.05, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("n,d,h,m", [(96, 64, 1, 24), (40, 128, 2, 24)])
+def test_fused_block_attention_grad_matches_xla(rng, n, d, h, m):
+    """Custom-VJP backward kernel (dx, dk, dv + all weight/LN grads) vs
+    jax.grad through the XLA reference chain — the training path
+    (ModelConfig.fused_attn_train)."""
+    from mvlt_tpu.ops import block_attention as ba
+
+    b, hd = 2, d // h
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = hd ** -0.5
+    cot = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    row_scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(b,)), jnp.float32)
+
+    argnames = ["x", "k", "v", "g", "be", "wq", "bq", "wp", "bp"]
+
+    def ref_loss(*args):
+        out = ba._xla_block_attention(*args, row_scale, scale, 1e-6, h)
+        return jnp.sum(out * cot)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(*[p[a] for a in argnames])
+
+    def fused_loss(*args):
+        out = ba.fused_block_attention(*args, row_scale, scale=scale,
+                                       eps=1e-6, num_heads=h)
+        return jnp.sum(out * cot)
+
+    got = _run_interpret(lambda: jax.grad(fused_loss, argnums=tuple(range(9)))(
+        *[p[a] for a in argnames]))
+
+    for gg, gw, nm in zip(got, want, ["dx", "dk", "dv", "dgamma", "dbeta",
+                                      "dwq", "dbq", "dwp", "dbp"]):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=5e-4, atol=5e-4, err_msg=nm)
+
+
+def test_fused_block_attention_row_scale(rng):
+    """row_scale folds DropPath: out == x + s * attn_branch(x)."""
+    from mvlt_tpu.ops.block_attention import fused_block_attention
+
+    b, n, d, h, m = 3, 32, 64, 1, 16
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = (d // h) ** -0.5
+    s = jnp.asarray([0.0, 2.0, 1.0], jnp.float32)
+    kw = dict(scale=scale, eps=1e-6, num_heads=h)
+    args = (p["x"], p["k"], p["v"], p["g"], p["be"], p["wq"], p["bq"],
+            p["wp"], p["bp"])
+
+    base = _run_interpret(fused_block_attention, *args, **kw)
+    scaled = _run_interpret(fused_block_attention, *args, s, **kw)
+    branch = np.asarray(base) - np.asarray(p["x"])
+    want = np.asarray(p["x"]) + np.asarray(s)[:, None, None] * branch
+    np.testing.assert_allclose(np.asarray(scaled), want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_block_attention_bwd_xla_fallback(rng):
+    """Shapes whose fixed VMEM blocks exceed the budget take the XLA
+    fallback; grads must still match the reference chain."""
+    from mvlt_tpu.ops import block_attention as ba
+
+    b, n, d, h, m = 1, 16, 64, 1, 8
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = (d // h) ** -0.5
+    cot = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    rs = jnp.asarray([0.7], jnp.float32)
+
+    def fused_loss(x):
+        out = ba.fused_block_attention(x, p["k"], p["v"], p["g"], p["be"],
+                                       p["wq"], p["bq"], p["wp"], p["bp"],
+                                       rs, scale=scale, eps=1e-6, num_heads=h)
+        return jnp.sum(out * cot)
+
+    def ref_loss(x):
+        out = ba._xla_block_attention(x, p["k"], p["v"], p["g"], p["be"],
+                                      p["wq"], p["bq"], p["wp"], p["bp"],
+                                      rs, scale, 1e-6, h)
+        return jnp.sum(out * cot)
+
+    want = jax.grad(ref_loss)(p["x"])
+    with mock.patch.object(ba, "_BWD_FIXED_BUDGET", 0):  # force the fallback
+        got = _run_interpret(lambda: jax.grad(fused_loss)(p["x"]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

@@ -51,10 +51,19 @@ def _timed(fn, *a):
 
 
 if __name__ == "__main__":
-    bench("B=101 none   ", 101, "none")
-    bench("B=101 full   ", 101, "full")
-    bench("B=101 mega   ", 101, "mega")
-    bench("B=101 xla    ", 101, "none", pallas=False)
-    bench("B=51  none   ", 51, "none")
-    bench("B=202 none   ", 202, "none")
-    bench("B=303 none   ", 303, "none")
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "batch":
+        # batch sweep on the default ('full') serving kernel — rerun after
+        # kernel-cost changes: the optimum can shift when per-step work gets
+        # cheaper relative to fixed costs
+        for b in (51, 101, 202, 404):
+            bench(f"B={b} full", b, "full")
+    else:
+        bench("B=101 none   ", 101, "none")
+        bench("B=101 full   ", 101, "full")
+        bench("B=101 mega   ", 101, "mega")
+        bench("B=101 xla    ", 101, "none", pallas=False)
+        bench("B=51  none   ", 51, "none")
+        bench("B=202 none   ", 202, "none")
+        bench("B=303 none   ", 303, "none")
