@@ -519,7 +519,8 @@ class Block(nn.Module):
             attn_out = SwinJointAttention(
                 self.dim, self.num_heads, window_size=self.window_size,
                 shift=self.shift, qkv_bias=self.qkv_bias,
-                proj_drop=self.drop, dtype=self.dtype, name="attn",
+                proj_drop=self.drop, use_pallas=self.use_pallas,
+                dtype=self.dtype, name="attn",
             )(
                 nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
                 hw, t_num, deterministic=deterministic,

@@ -84,6 +84,7 @@ class SwinJointAttention(nn.Module):
     qkv_bias: bool = True
     proj_drop: float = 0.0
     text_pool: int = 8
+    use_pallas: bool = False   # fused windowed-attention kernel (serving)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,26 +124,44 @@ class SwinJointAttention(nn.Module):
         k_txt = heads_of(k_all[:, h * w:, :])             # [B, nh, T, hd]
         v_txt = heads_of(v_all[:, h * w:, :])
 
-        logits_vv = jnp.einsum("bnhqd,bnhkd->bnhqk", q_win, k_win,
-                               preferred_element_type=jnp.float32) * scale
         # Swin relative-position bias on the visual-visual block
         table = self.param("rel_pos_bias",
                            _trunc02, ((2 * ws - 1) ** 2, nh), jnp.float32)
         idx = jnp.asarray(relative_position_index(ws))
         bias = jnp.moveaxis(table[idx], -1, 0)            # [nh, ws2, ws2]
-        logits_vv = logits_vv + bias[None, None]
         mask = jnp.asarray(window_masks(h, w, ws, s))     # [nW, ws2, ws2]
-        logits_vv = logits_vv + mask[None, :, None]
-        logits_vt = jnp.einsum("bnhqd,bhtd->bnhqt", q_win, k_txt,
-                               preferred_element_type=jnp.float32) * scale
 
-        logits = jnp.concatenate([logits_vv, logits_vt], axis=-1)
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        p_vv, p_vt = probs[..., : ws * ws], probs[..., ws * ws:]
-        out_win = (jnp.einsum("bnhqk,bnhkd->bnhqd", p_vv, v_win,
-                              preferred_element_type=jnp.float32)
-                   + jnp.einsum("bnhqt,bhtd->bnhqd", p_vt, v_txt,
-                                preferred_element_type=jnp.float32)).astype(x.dtype)
+        use_kernel = (
+            self.use_pallas and deterministic and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            # fused path: bias + region/pad mask pre-folded into one
+            # additive table; logits never touch HBM
+            # (mvlt_tpu/ops/swin_attention.py)
+            from mvlt_tpu.ops.swin_attention import fused_swin_attention
+
+            add = bias[None] + mask[:, None]              # [nW, nh, ws2, ws2]
+            add_table = jnp.concatenate(
+                [add, jnp.zeros((nwin, nh, ws * ws, t_num), jnp.float32)],
+                axis=-1)
+            out_win = fused_swin_attention(
+                q_win, k_win, v_win, k_txt, v_txt, add_table, scale=scale)
+        else:
+            logits_vv = jnp.einsum("bnhqd,bnhkd->bnhqk", q_win, k_win,
+                                   preferred_element_type=jnp.float32) * scale
+            logits_vv = logits_vv + bias[None, None]
+            logits_vv = logits_vv + mask[None, :, None]
+            logits_vt = jnp.einsum("bnhqd,bhtd->bnhqt", q_win, k_txt,
+                                   preferred_element_type=jnp.float32) * scale
+
+            logits = jnp.concatenate([logits_vv, logits_vt], axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            p_vv, p_vt = probs[..., : ws * ws], probs[..., ws * ws:]
+            out_win = (jnp.einsum("bnhqk,bnhkd->bnhqd", p_vv, v_win,
+                                  preferred_element_type=jnp.float32)
+                       + jnp.einsum("bnhqt,bhtd->bnhqd", p_vt, v_txt,
+                                    preferred_element_type=jnp.float32)).astype(x.dtype)
 
         # reverse: windows -> padded grid -> unshift -> crop -> tokens
         g = jnp.moveaxis(out_win, 2, -2).reshape(

@@ -113,13 +113,20 @@ def gathered_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray
     configs with short captions can lower it for more speed.  Overflow
     rows (if ever) are dropped from the mean, never mis-labeled.
     """
+    import math
+
     h = hidden.shape[-1]
     rows = hidden.reshape(-1, h)
     labs = labels.reshape(-1)
     n = rows.shape[0]
-    capacity = -(-int(n * capacity_frac) // chunk) * chunk
+    # round capacity to 512 rows and shrink the chunk to a divisor so the
+    # decode pays for ~capacity rows, not roundup(capacity, chunk) — the
+    # old chunk-rounding added 28% dead vocab-GEMM rows at the reference
+    # recipe (4800 -> 6144)
+    capacity = max(512, -(-int(n * capacity_frac) // 512) * 512)
     if capacity >= n:
         return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
+    chunk = math.gcd(capacity, max(512, chunk // 512 * 512))
     valid = labs != MLM_IGNORE_INDEX
     # Stable partition of labeled rows to the front WITHOUT a sort: an
     # argsort over B*T rows lowers to a bitonic sort network on TPU, while

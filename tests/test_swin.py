@@ -162,3 +162,44 @@ def test_swin_train_step_runs():
     new_state, losses = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["total_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_fused_swin_attention_matches_xla(rng):
+    """ops/swin_attention kernel (interpret mode) vs the module's XLA
+    two-block einsum formulation, including rel-pos bias + region mask
+    folded into the additive table."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from mvlt_tpu.ops.swin_attention import fused_swin_attention
+
+    b, nw, nh, ws2, hd, t = 2, 4, 2, 16, 32, 24
+    q = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)
+    kw = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)
+    vw = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)
+    kt = jnp.asarray(rng.normal(size=(b, nh, t, hd)), jnp.float32)
+    vt = jnp.asarray(rng.normal(size=(b, nh, t, hd)), jnp.float32)
+    add = jnp.asarray(rng.normal(size=(nw, nh, ws2, ws2 + t)) * 0.3, jnp.float32)
+    # sprinkle -inf region-mask entries on the visual block
+    add = add.at[:, :, :, 3].set(-np.inf)
+    scale = hd ** -0.5
+
+    logits = jnp.concatenate([
+        jnp.einsum("bnhqd,bnhkd->bnhqk", q, kw),
+        jnp.einsum("bnhqd,bhtd->bnhqt", q, kt),
+    ], axis=-1) * scale + add[None]
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = (jnp.einsum("bnhqk,bnhkd->bnhqd", probs[..., :ws2], vw)
+            + jnp.einsum("bnhqt,bhtd->bnhqd", probs[..., ws2:], vt))
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        got = fused_swin_attention(q, kw, vw, kt, vt, add, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
