@@ -71,7 +71,12 @@ BATCH = 101            # one retrieval bundle — the protocol's serving unit,
                        # tools/probes/bench_sweep2.py: 101 > 202 > 404 > 808)
 WARMUP = 2
 ITERS = 24             # distinct staged batches scanned inside ONE jit
-REPEATS = 3            # timed scan dispatches; best is reported
+REPS_LO, REPS_HI = 1, 5  # in-jit passes over the staged batches: the time
+                       # SLOPE between the two cancels the fixed per-dispatch
+                       # cost (a null scan measures 40-65 ms of tunnel
+                       # dispatch+fetch overhead per RPC on this rig — at
+                       # ITERS=24 that inflated per-batch time by ~2 ms)
+REPEATS = 4            # timed dispatches per reps setting; best is used
 
 
 def flops_per_pair(cfg, input_size: int) -> dict:
@@ -176,28 +181,42 @@ def main() -> None:
     # backend — see CLAUDE.md.  A production serving host dispatches from
     # many cores without a tunnel; the scan harness is the honest per-chip
     # number.)
-    @jax.jit
-    def serve(images, ids):
-        def step(acc, batch):
-            im, ii = batch
-            out = model.apply(variables, im, ii, train=False)
-            probs = jax.nn.softmax(out["itm_logits"].reshape(-1, 2), axis=-1)[:, 1]
-            return acc + probs.sum(), None
+    def make_serve(reps: int):
+        @jax.jit
+        def serve(images, ids):
+            def step(acc, batch):
+                im, ii = batch
+                out = model.apply(variables, im, ii, train=False)
+                probs = jax.nn.softmax(out["itm_logits"].reshape(-1, 2), axis=-1)[:, 1]
+                return acc + probs.sum(), None
 
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), (images, ids))
-        return acc
+            def one_pass(acc, _):
+                return jax.lax.scan(step, acc, (images, ids))[0], None
+
+            acc, _ = jax.lax.scan(one_pass, jnp.float32(0.0), None, length=reps)
+            return acc
+
+        return serve
+
+    serve_lo = make_serve(REPS_LO)
+    serve_hi = make_serve(REPS_HI)
 
     t = time.perf_counter()
     for i in range(WARMUP):
-        np.asarray(serve(images, ids))  # np.asarray forces execution
+        np.asarray(serve_lo(images, ids))  # np.asarray forces execution
+        np.asarray(serve_hi(images, ids))
         log(f"warmup {i}: {time.perf_counter() - t:.1f}s")
 
-    dt = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        np.asarray(serve(images, ids))
-        dt = min(dt, time.perf_counter() - t0)
+    def best(fn):
+        dt = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            np.asarray(fn(images, ids))
+            dt = min(dt, time.perf_counter() - t0)
+        return dt
 
+    # slope between the two in-jit repetition counts: pure device time
+    dt = (best(serve_hi) - best(serve_lo)) / (REPS_HI - REPS_LO)
     pairs_per_sec = BATCH * ITERS / dt
 
     # --- baseline derivation (see module docstring) -------------------------

@@ -45,17 +45,30 @@ def kernel(x_ref, k_ref, v_ref, wq_ref, wp_ref, w1_ref, w2_ref, o_ref, *,
            mode: str):
     xt = x_ref[0, 0]
     xf = xt.astype(jnp.float32)
-    if mode != "noln":
+    one_pass = mode in ("current", "folded")
+    if mode == "noln":
+        normed = xt
+    elif one_pass:
+        s1 = jnp.sum(xf, axis=-1, keepdims=True)
+        s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        mean = s1 / xf.shape[-1]
+        var = s2 / xf.shape[-1] - mean * mean
+        normed = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(xt.dtype)
+        # 'folded' would skip the affine apply entirely (scale/bias folded
+        # into wq/w1 host-side); this probe has no affine either way, so
+        # the folded saving shows up as the normed cast staying the same —
+        # emulate the extra affine the real kernel pays in 'current':
+        if mode == "current":
+            normed = (normed.astype(jnp.float32) * 1.01 + 0.01).astype(xt.dtype)
+    else:
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         normed = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(xt.dtype)
-    else:
-        normed = xt
     q = jax.lax.dot_general(normed, wq_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32).astype(xt.dtype)
     logits = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * 0.125
-    if mode == "exp2softmax":
+    if mode in ("exp2softmax", "current", "folded"):
         # exp2 with the log2(e) folded into the scale; skip the division by
         # scaling the output instead (denominator applied post-AV)
         row_max = jnp.max(logits, axis=-1, keepdims=True)
@@ -78,16 +91,27 @@ def kernel(x_ref, k_ref, v_ref, wq_ref, wp_ref, w1_ref, w2_ref, o_ref, *,
     y = jax.lax.dot_general(attn, wp_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     hres = xf + y
-    if mode != "noln":
+    if mode == "noln":
+        normed2 = hres.astype(xt.dtype)
+    elif one_pass:
+        s1 = jnp.sum(hres, axis=-1, keepdims=True)
+        s2 = jnp.sum(hres * hres, axis=-1, keepdims=True)
+        mean2 = s1 / hres.shape[-1]
+        var2 = s2 / hres.shape[-1] - mean2 * mean2
+        normed2 = ((hres - mean2) * jax.lax.rsqrt(var2 + 1e-6)).astype(xt.dtype)
+        if mode == "current":
+            normed2 = (normed2.astype(jnp.float32) * 1.01 + 0.01).astype(xt.dtype)
+    else:
         mean2 = jnp.mean(hres, axis=-1, keepdims=True)
         var2 = jnp.var(hres, axis=-1, keepdims=True)
         normed2 = ((hres - mean2) * jax.lax.rsqrt(var2 + 1e-6)).astype(xt.dtype)
-    else:
-        normed2 = hres.astype(xt.dtype)
     hid = jax.lax.dot_general(normed2, w1_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if mode in ("full", "exp2softmax"):
         hid = (0.5 * hid * (1.0 + _erf(hid * 0.7071067811865476))).astype(xt.dtype)
+    elif mode in ("current", "folded"):
+        c = 0.7978845608028654
+        hid = (0.5 * hid * (1.0 + jnp.tanh(c * (hid + 0.044715 * hid ** 3)))).astype(xt.dtype)
     elif mode == "erf_noexp":
         # A&S polynomial with the exp(-x^2) factor replaced by a constant:
         # isolates whether the exp or the divide/sign plumbing costs
@@ -134,25 +158,37 @@ def run(mode):
             dimension_semantics=("parallel", "parallel")),
     )
 
-    @jax.jit
-    def scanned(xs):
-        def step(acc, x):
-            out = f(x, k, v, wq, wp, w1, w2)
-            return acc + out[0, 0, 0, :8].astype(jnp.float32).sum(), None
+    def make(reps):
+        @jax.jit
+        def scanned(xs):
+            def step(acc, x):
+                out = f(x, k, v, wq, wp, w1, w2)
+                return acc + out[0, 0, 0, :8].astype(jnp.float32).sum(), None
 
-        acc = jnp.float32(0.0)
-        for _ in range(SCAN_REPS):
-            acc, _ = jax.lax.scan(step, acc, xs)
-        return acc
+            acc = jnp.float32(0.0)
+            for _ in range(reps):
+                acc, _ = jax.lax.scan(step, acc, xs)
+            return acc
 
-    np.asarray(scanned(xs))  # compile + warm (forces result)
-    dt = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(scanned(xs))
-        dt = min(dt, time.perf_counter() - t0)
-    per_iter = dt / (NBUF * SCAN_REPS) * 1000
-    print(f"{mode:12s}: {per_iter:.3f} ms/iter (device-true scan)", flush=True)
+        return scanned
+
+    # SLOPE between two in-jit repetition counts: a null scan measures
+    # 40-65 ms of fixed tunnel dispatch+fetch cost per RPC on this rig,
+    # which at NBUF=8 would pollute per-iter numbers by ~5-8 ms
+    lo, hi = make(1), make(1 + SCAN_REPS)
+    np.asarray(lo(xs))
+    np.asarray(hi(xs))
+
+    def best(fn):
+        dt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(xs))
+            dt = min(dt, time.perf_counter() - t0)
+        return dt
+
+    per_iter = (best(hi) - best(lo)) / (NBUF * SCAN_REPS) * 1000
+    print(f"{mode:12s}: {per_iter:.3f} ms/iter (device-true slope)", flush=True)
 
 
 if __name__ == "__main__":
