@@ -433,81 +433,30 @@ class Block(nn.Module):
         return mask.astype(jnp.float32) / keep
 
     def _sr_kv(self, x: jnp.ndarray, hw: tuple):
-        """K/V for the whole-block kernel with the LN1 -> space-to-depth ->
-        SR contraction -> SR-LN front end fused into one Pallas kernel
-        (mvlt_tpu/ops/sr_kv.py) — one read of the residual stream instead of
-        the _xla_kv glue's 3-4 full-stream passes (1.08 ms/block at stage-1
-        shapes, tools/probes/bench_kv_glue.py).  Only the tiny text tail
-        [B, T, d_pad] and the [B, M_pad, d_pad] KV projection stay in XLA.
-        Returns (k, v, kv_len) in the kernel's padded layout, like
+        """K/V for the whole-block kernel with the ENTIRE K/V path fused into
+        one Pallas kernel (mvlt_tpu/ops/sr_kv.py): LN1 over the joint stream,
+        space-to-depth + SR contraction + SR-LN (sr > 1), text re-concat, and
+        the per-head-striped K/V projections — one read of the residual
+        stream, zero XLA glue (the unfused chain cost 1.08 ms/block at
+        stage-1 shapes, tools/probes/bench_kv_glue.py).  Returns (k, v,
+        kv_len) in the kernel's padded layout, like
         _xla_kv(padded_out=True)."""
-        from mvlt_tpu.ops.sr_kv import fused_ln_sr
+        from mvlt_tpu.ops.sr_kv import fused_ln_sr_kv
 
         p = self.variables["params"]
         ap = p["attn"]
-        c = self.dim
-        nh = self.num_heads
-        hd = c // nh
-        b, n, d_in = x.shape
-        dtype = x.dtype
         h, w = hw
-
-        vis = fused_ln_sr(
+        sr1 = self.sr_ratio == 1
+        return fused_ln_sr_kv(
             x, p["norm1"]["scale"], p["norm1"]["bias"],
-            ap["sr"]["kernel"], ap["sr"]["bias"],
-            ap["norm"]["scale"], ap["norm"]["bias"],
-            dim=c, hw=hw, sr=self.sr_ratio,
-            eps1=self.ln_eps, eps_sr=self.sr_ln_eps,
-        )                                       # [B, P, d_pad], pad lanes 0
-
-        # text tail LN1 in XLA: [B, T, d_pad] slice, masked stats; zero-padded
-        # gamma/beta keep the pad lanes exactly zero (stream pad invariant)
-        text = x[:, h * w:, :]
-        tf = text.astype(jnp.float32)
-        mu = tf.sum(-1, keepdims=True) / c
-        var = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, tf.shape, 2) < c,
-            (tf - mu) ** 2, 0.0).sum(-1, keepdims=True) / c
-        g1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
-            p["norm1"]["scale"].astype(jnp.float32))
-        b1 = jnp.zeros((d_in,), jnp.float32).at[:c].set(
-            p["norm1"]["bias"].astype(jnp.float32))
-        textn = ((tf - mu) * jax.lax.rsqrt(var + self.ln_eps)
-                 * g1 + b1).astype(dtype)
-
-        m = vis.shape[1] + text.shape[1]
-        m_pad = -(-m // 128) * 128
-        parts = [vis, textn]
-        if m_pad != m:
-            # fold the kernel's KV-length pad into this same concat
-            parts.append(jnp.zeros((b, m_pad - m, d_in), dtype))
-        kv_in = jnp.concatenate(parts, axis=1)   # [B, M_pad, d_pad]
-
-        # padded KV projection straight to the kernel layout [B, H, M_pad,
-        # 128]: zero-padded input ROWS (pad lanes of kv_in) and per-head
-        # output stripes, as in _xla_kv's padded_out branch
-        wkv = ap["kv"]["kernel"].astype(dtype)   # [c, 2c]
-        bkv = ap["kv"].get("bias")
-        hd_pad = 128
-        wk = jnp.zeros((d_in, nh, hd_pad), dtype).at[:c, :, :hd].set(
-            wkv[:, :c].reshape(c, nh, hd))
-        wv = jnp.zeros((d_in, nh, hd_pad), dtype).at[:c, :, :hd].set(
-            wkv[:, c:].reshape(c, nh, hd))
-        k = jnp.einsum("bmc,chd->bhmd", kv_in, wk,
-                       preferred_element_type=jnp.float32)
-        v = jnp.einsum("bmc,chd->bhmd", kv_in, wv,
-                       preferred_element_type=jnp.float32)
-        if bkv is not None:
-            bk = jnp.zeros((nh, hd_pad), jnp.float32).at[:, :hd].set(
-                bkv[:c].astype(jnp.float32).reshape(nh, hd))
-            bv = jnp.zeros((nh, hd_pad), jnp.float32).at[:, :hd].set(
-                bkv[c:].astype(jnp.float32).reshape(nh, hd))
-            # NB: bias lands on the zero-padded KV-LENGTH rows too — the
-            # consumer must mask logits at col >= kv_len (kv_len is always
-            # passed on this path)
-            k = k + bk[None, :, None, :]
-            v = v + bv[None, :, None, :]
-        return k.astype(dtype), v.astype(dtype), m
+            None if sr1 else ap["sr"]["kernel"],
+            None if sr1 else ap["sr"]["bias"],
+            None if sr1 else ap["norm"]["scale"],
+            None if sr1 else ap["norm"]["bias"],
+            ap["kv"]["kernel"], ap["kv"].get("bias"),
+            dim=self.dim, hw=hw, t=x.shape[1] - h * w, sr=self.sr_ratio,
+            heads=self.num_heads, eps1=self.ln_eps, eps_sr=self.sr_ln_eps,
+        )
 
     def _fused_full_block(self, x: jnp.ndarray, hw: tuple,
                           kv_normed: Optional[jnp.ndarray] = None,
@@ -517,22 +466,18 @@ class Block(nn.Module):
         the residual stream per block.  Accepts and returns a lane-padded
         stream (PVLT pads once per stage; see the stage loop).
 
-        sr_ratio > 1 stages use the fused SR front end (_sr_kv), which
-        computes LN1 inline — the stage loop passes no handoff there.
-        kv_normed: LN1(x) emitted by the previous block's kernel (skips the
-        XLA full-stream LN in the K/V path; sr==1 stages only).  ln_next:
-        the NEXT block's (norm1 scale, bias, ln_eps) — when given, returns
-        (out, LN_next(out))."""
+        The K/V path runs entirely inside the fused SR-KV kernel (_sr_kv) at
+        every sr ratio, so no handoff is needed; kv_normed/ln_next remain
+        accepted for the kernel's standalone ln-handoff feature (unused by
+        the stage loop since the SR-KV fusion) — when ln_next is given the
+        kernel still returns (out, LN_next(out))."""
         from mvlt_tpu.ops.block_fused import fused_block
 
         p = self.variables["params"]
         c = self.dim
         nh = self.num_heads
-        if self.sr_ratio > 1:
-            k, v, kv_len = self._sr_kv(x, hw)
-        else:
-            k, v, kv_len = self._xla_kv(x, hw, normed=kv_normed,
-                                        padded_out=True)
+        del kv_normed  # the SR-KV kernel reads the raw stream
+        k, v, kv_len = self._sr_kv(x, hw)
         ap = p["attn"]
         mp = p["mlp"]
         return fused_block(
@@ -817,35 +762,11 @@ class PVLT(nn.Module):
                     dtype=dtype, name=f"block{i + 1}_{j}",
                 )
 
-            if full_kernel:
-                # LN handoff: each kernel also emits the NEXT block's
-                # LN1(out), so only the stage's first block pays the XLA
-                # full-stream LayerNorm in its K/V path.  Only sr==1 stages
-                # want it — sr>1 stages use the fused SR front end
-                # (ops/sr_kv.py), which computes LN1 inline from the raw
-                # stream, so emitting LN(out) would be a wasted full-stream
-                # write.
-                handoff = cfg.sr_ratios[i] == 1
-                params = self.variables["params"]
-                kv_normed = None
-                for j in range(cfg.depths[i]):
-                    ln_next = None
-                    if handoff and j + 1 < cfg.depths[i]:
-                        # (scale, bias, eps) of the NEXT block's norm1 — eps
-                        # travels with the tuple so the handoff can't silently
-                        # apply the wrong epsilon if per-block eps ever
-                        # diverges (every Block currently gets block_ln_eps)
-                        nxt = params[f"block{i + 1}_{j + 1}"]["norm1"]
-                        ln_next = (nxt["scale"], nxt["bias"], cfg.block_ln_eps)
-                    out = mk_block(j)(x, (h, w), t_num, det,
-                                      kv_normed, ln_next)
-                    if ln_next is not None:
-                        x, kv_normed = out
-                    else:
-                        x, kv_normed = out, None
-            else:
-                for j in range(cfg.depths[i]):
-                    x = mk_block(j)(x, (h, w), t_num, det)
+            # The full-kernel path needs no inter-block handoff since the
+            # SR-KV fusion (ops/sr_kv.py): every block's K/V path reads the
+            # raw stream inside its own kernel, at every sr ratio.
+            for j in range(cfg.depths[i]):
+                x = mk_block(j)(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
             # split back (and drop pad lanes, fused into the same copy)

@@ -1,30 +1,36 @@
-"""Fused K/V-path front end: LN1 -> space-to-depth -> SR contraction -> SR-LN
-as one Pallas kernel, one read of the residual stream.
+"""The whole K/V path of a block as ONE Pallas kernel: LN1 over the joint
+stream -> space-to-depth -> SR contraction -> SR-LN -> text re-concat ->
+per-head-striped K/V projections, one read of the residual stream and zero
+XLA glue between block megakernels.
 
-Replaces the XLA glue between whole-block megakernels (mvlt_tpu/models/pvlt.py
-_xla_kv, reference semantics libs/pvlt.py:100-108).  Measured on v5e at
-stage-1 shapes (tools/probes/bench_kv_glue.py, chained-scan slope harness)
-that glue costs 1.08 ms with the full-stream LayerNorm and 0.80 ms with
-``normed`` handed off — dominated by the fp32 LN pass (0.59 ms) and the
+Replaces mvlt_tpu/models/pvlt.py _xla_kv on the 'full' inference path
+(reference semantics libs/pvlt.py:100-108).  Measured on v5e at stage-1
+shapes (tools/probes/bench_kv_glue.py, chained-scan slope harness) the XLA
+chain costs 1.08 ms/block — dominated by the fp32 LN pass (0.59 ms) and the
 space-to-depth transpose+einsum (0.66-0.80 ms), each of which re-streams the
 [B, 4224, 128] residual through HBM.  This kernel reads the stream once
 (~0.14 ms roofline) and does everything else in VMEM:
 
-  - LN1 inline (one-pass masked stats, kernel_math.one_pass_ln) — which also
-    makes the inter-block ln_next handoff (ops/block_fused.py) unnecessary
-    for sr>1 stages: the whole-block kernel no longer pays the extra
-    full-stream write of LN(out).
-  - space-to-depth without an HBM transpose: the (hw, d_pad) tile reshapes to
-    (h/sr, sr, w/sr, sr, d_pad) (leading-dim split — Mosaic cannot cross the
-    sublane->lane boundary, CLAUDE.md), and the sr*sr strided slices are
-    lane-concatenated into the [P, sr*sr*d_pad] GEMM operand in VMEM.
+  - LN1 inline over ALL rows at once (one-pass masked stats,
+    kernel_math.one_pass_ln) — visual and text rows share the same LN, so
+    no separate text-tail LN or inter-block ln_next handoff
+    (ops/block_fused.py) is needed at any sr ratio.
+  - space-to-depth without an HBM transpose: the (hw, d_pad) tile reshapes
+    to (h/sr, sr, w/sr, sr, d_pad) (leading-dim split — Mosaic cannot cross
+    the sublane->lane boundary, CLAUDE.md), and the sr*sr strided slices are
+    staged into the [P, sr*sr*d_pad] GEMM operand via VMEM-scratch stores
+    (a direct lane-concat trips Mosaic's sublane-offset check).
   - the k=sr, stride=sr "conv" as one fat GEMM against the zero-padded
     flattened kernel (pad lanes of the stream hit zero weight rows).
   - the post-SR LayerNorm (attn.norm, eps 1e-5) inline on the [P, dim] tile.
+  - the SR output and the normed text tail re-concatenated by sublane
+    stores into a [M_pad, d_pad] scratch (alignment: the row counts P and T
+    are sublane multiples at every shipped config), then projected to K and
+    V with per-head 128-lane weight stripes, landing directly in the
+    whole-block kernel's [B, H, M_pad, 128] layout.
 
-Output: [B, (h/sr)*(w/sr), round_up(dim, 128)] in x.dtype, padded lanes
-zero — ready for the padded KV projection (pvlt.py _xla_kv padded_out
-layout) without any lane slice of the stream.
+sr == 1 (stage 4) skips the SR contraction and projects LN1(stream)
+directly — the same kernel retires that stage's XLA K/V glue too.
 """
 
 from __future__ import annotations
@@ -39,103 +45,175 @@ from jax.experimental.pallas import tpu as pltpu
 from mvlt_tpu.ops.kernel_math import one_pass_ln, round_up
 
 
-def _kernel(x_ref, g1_ref, b1_ref, w_ref, bs_ref, gs_ref, bsn_ref, o_ref,
-            lhs_ref, *, dim: int, hw: tuple, sr: int, eps1: float,
-            eps_sr: float):
+def _kv_kernel(x_ref, g1_ref, b1_ref, w_ref, bs_ref, gs_ref, bsn_ref,
+               wk_ref, bk_ref, wv_ref, bv_ref, k_ref, v_ref,
+               lhs_ref, kv_ref, *, dim: int, hw: tuple, t: int, sr: int,
+               heads: int, eps1: float, eps_sr: float):
+    """The ENTIRE K/V path of one block in one grid step: LN1 over the full
+    joint stream (visual + text rows at once), space-to-depth + SR GEMM +
+    SR-LN on the visual rows (sr > 1), VMEM re-concat with the text tail,
+    and the K/V projections emitted per-head-stripe in the whole-block
+    kernel's [H, M_pad, 128] layout.  sr == 1 skips the SR contraction and
+    projects the normed stream directly (stage 4)."""
     h, w = hw
     d_pad = x_ref.shape[-1]
-    ph, pw = h // sr, w // sr
+    m_pad = k_ref.shape[2]
+    dtype = k_ref.dtype
 
-    xf = x_ref[0].astype(jnp.float32)                       # (h*w, d_pad)
+    xf = x_ref[0].astype(jnp.float32)                       # (h*w + t, d_pad)
     normed = one_pass_ln(xf, dim, eps1,
                          g1_ref[0].astype(jnp.float32),
                          b1_ref[0].astype(jnp.float32))
-    # (h*w, d_pad) -> (ph, sr, pw, sr, d_pad): pure leading-dim split
-    n5 = normed.reshape(ph, sr, pw, sr, d_pad)
-    # gather the sr*sr strided slices into the GEMM operand's lane slices,
-    # staging through VMEM scratch: the slices carry sublane offsets r that
-    # Mosaic's lane-concat refuses to mix ("offset mismatch on non-concat
-    # dimension"); stores realign each piece to offset 0.  Lane order
-    # (r, t, d) matches the flattened weight layout.
-    for r in range(sr):
-        for t in range(sr):
-            idx = (r * sr + t) * d_pad
-            lhs_ref[:, idx:idx + d_pad] = (
-                n5[:, r, :, t, :].reshape(ph * pw, d_pad).astype(lhs_ref.dtype))
-    out = jax.lax.dot_general(
-        lhs_ref[...], w_ref[...],
+    if sr > 1:
+        ph, pw = h // sr, w // sr
+        p = ph * pw
+        n5 = normed[: h * w].reshape(ph, sr, pw, sr, d_pad)
+        for r in range(sr):
+            for s in range(sr):
+                idx = (r * sr + s) * d_pad
+                lhs_ref[:, idx:idx + d_pad] = (
+                    n5[:, r, :, s, :].reshape(p, d_pad).astype(lhs_ref.dtype))
+        vis = jax.lax.dot_general(
+            lhs_ref[...], w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bs_ref[0].astype(jnp.float32)
+        vis = one_pass_ln(vis, dim, eps_sr,
+                          gs_ref[0].astype(jnp.float32),
+                          bsn_ref[0].astype(jnp.float32))
+        kv_ref[:p] = vis.astype(dtype)
+        kv_ref[p:p + t] = normed[h * w:].astype(dtype)
+        m = p + t
+    else:
+        m = h * w + t
+        kv_ref[:m] = normed.astype(dtype)
+    if m_pad != m:
+        kv_ref[m:] = jnp.zeros((m_pad - m, d_pad), dtype)
+
+    kf = jax.lax.dot_general(
+        kv_ref[...], wk_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bs_ref[0].astype(jnp.float32)
-    out = one_pass_ln(out, dim, eps_sr,
-                      gs_ref[0].astype(jnp.float32),
-                      bsn_ref[0].astype(jnp.float32))
-    o_ref[0] = out.astype(o_ref.dtype)
+    ) + bk_ref[0].astype(jnp.float32)
+    vf = jax.lax.dot_general(
+        kv_ref[...], wv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bv_ref[0].astype(jnp.float32)
+    # NB: the zeroed pad ROWS of kv_ref land at bias value after + bk/bv —
+    # consumers must mask logits at col >= kv_len (always true on this path)
+    for hh in range(heads):
+        k_ref[0, hh] = kf[:, hh * 128:(hh + 1) * 128].astype(dtype)
+        v_ref[0, hh] = vf[:, hh * 128:(hh + 1) * 128].astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dim", "hw", "sr",
-                                             "eps1", "eps_sr"))
-def fused_ln_sr(x: jax.Array,
-                ln1_scale: jax.Array, ln1_bias: jax.Array,
-                sr_kernel: jax.Array, sr_bias: jax.Array,
-                srn_scale: jax.Array, srn_bias: jax.Array,
-                *, dim: int, hw: tuple, sr: int,
-                eps1: float, eps_sr: float) -> jax.Array:
-    """LN1 + sr-stride-sr patch contraction + SR-LN over the visual rows of a
-    (possibly lane-padded) stream.
+def fused_ln_sr_kv(x: jax.Array,
+                   ln1_scale: jax.Array, ln1_bias: jax.Array,
+                   sr_kernel, sr_bias, srn_scale, srn_bias,
+                   kv_kernel: jax.Array, kv_bias,
+                   *, dim: int, hw: tuple, t: int, sr: int, heads: int,
+                   eps1: float, eps_sr: float):
+    """K and V for one block straight from the raw lane-padded stream:
+    LN1 + (space-to-depth + SR contraction + SR-LN, when sr > 1) + text-tail
+    re-concat + K/V projections, all in one Pallas kernel.  Returns
+    (k, v, kv_len) with k/v in the whole-block kernel's padded layout
+    [B, heads, round_up(M, 128), 128] (pad rows bias-valued — downstream
+    must mask at col >= kv_len; pad head-dim lanes zero).
 
-    x: [B, N, d_pad] with h*w visual rows first (N may exceed h*w — text
-    rows are ignored), true feature width ``dim``, padded lanes zero.
-    sr_kernel: [sr, sr, dim, dim] (HWIO, as stored by the flax conv).
-    Returns [B, (h/sr)*(w/sr), round_up(dim, 128)] in x.dtype, padded lanes
-    zero (zero-padded output columns of the GEMM + zero-padded LN gamma/beta).
+    x: [B, h*w + t, d_pad] lane-padded joint stream (pad lanes zero).
+    sr_kernel: [sr, sr, dim, dim] HWIO (None when sr == 1).
+    kv_kernel: [dim, 2*dim] (flax Dense layout); kv_bias: [2*dim] or None.
     """
     b, n, d_in = x.shape
     h, w = hw
-    assert h % sr == 0 and w % sr == 0 and n >= h * w
+    assert n == h * w + t, (n, hw, t)
     d_pad = round_up(dim, 128)
     assert d_in == d_pad, (d_in, d_pad)
-    p = (h // sr) * (w // sr)
+    hd = dim // heads
+    p = (h // sr) * (w // sr) if sr > 1 else h * w
+    m = p + t if sr > 1 else n
+    m_pad = round_up(m, 128)
     dtype = x.dtype
 
-    # flatten the conv kernel to the lane-concat order (r, t, d_pad) and
-    # zero-pad: input rows beyond dim meet the stream's zero pad lanes,
-    # output columns beyond dim keep the result's pad lanes zero
-    wf = jnp.zeros((sr, sr, d_pad, d_pad), dtype)
-    wf = wf.at[:, :, :dim, :dim].set(sr_kernel.astype(dtype))
-    wf = wf.reshape(sr * sr * d_pad, d_pad)
+    if sr > 1:
+        wf = jnp.zeros((sr, sr, d_pad, d_pad), dtype)
+        wf = wf.at[:, :, :dim, :dim].set(sr_kernel.astype(dtype))
+        wf = wf.reshape(sr * sr * d_pad, d_pad)
+    else:
+        # dummies keep the kernel signature static; never read when sr == 1
+        wf = jnp.zeros((1, d_pad), dtype)
+        sr_bias = jnp.zeros((dim,), jnp.float32)
+        srn_scale = jnp.ones((dim,), jnp.float32)
+        srn_bias = jnp.zeros((dim,), jnp.float32)
+
+    # per-head 128-lane stripes with zero-padded input rows (stream pad
+    # lanes) and zero-padded head-dim columns (pvlt.py _xla_kv padded_out)
+    def stripes(wm):                                   # [dim, dim] -> padded
+        out = jnp.zeros((d_pad, heads, 128), dtype)
+        return out.at[:dim, :, :hd].set(
+            wm.astype(dtype).reshape(dim, heads, hd)).reshape(d_pad,
+                                                              heads * 128)
+
+    wk = stripes(kv_kernel[:, :dim])
+    wv = stripes(kv_kernel[:, dim:])
+    if kv_bias is not None:
+        def bstripe(bm):
+            out = jnp.zeros((1, heads, 128), jnp.float32)
+            return out.at[0, :, :hd].set(
+                bm.astype(jnp.float32).reshape(heads, hd)).reshape(
+                    1, heads * 128)
+        bk, bv = bstripe(kv_bias[:dim]), bstripe(kv_bias[dim:])
+    else:
+        bk = bv = jnp.zeros((1, heads * 128), jnp.float32)
 
     def vec(a):
         out = jnp.zeros((1, d_pad), jnp.float32)
         return out.at[0, :a.shape[0]].set(a.astype(jnp.float32))
 
     vspec = pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, dim=dim, hw=hw, sr=sr,
-                          eps1=eps1, eps_sr=eps_sr),
+    hspec = pl.BlockSpec((1, heads * 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kv_shape = jax.ShapeDtypeStruct((b, heads, m_pad, 128), dtype)
+    k, v = pl.pallas_call(
+        functools.partial(_kv_kernel, dim=dim, hw=hw, t=t, sr=sr,
+                          heads=heads, eps1=eps1, eps_sr=eps_sr),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h * w, d_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n, d_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vspec, vspec,
-            pl.BlockSpec((sr * sr * d_pad, d_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             vspec, vspec, vspec,
+            pl.BlockSpec((d_pad, heads * 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            hspec,
+            pl.BlockSpec((d_pad, heads * 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            hspec,
         ],
-        out_specs=pl.BlockSpec((1, p, d_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, p, d_pad), dtype),
-        scratch_shapes=[pltpu.VMEM((p, sr * sr * d_pad), dtype)],
+        out_specs=[
+            pl.BlockSpec((1, heads, m_pad, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads, m_pad, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[kv_shape, kv_shape],
+        scratch_shapes=[
+            pltpu.VMEM((p, sr * sr * d_pad) if sr > 1 else (8, d_pad), dtype),
+            pltpu.VMEM((m_pad, d_pad), dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * p * sr * sr * d_pad * d_pad,
-            bytes_accessed=(b * h * w * d_pad * x.dtype.itemsize
-                            + b * p * d_pad * x.dtype.itemsize
-                            + sr * sr * d_pad * d_pad * x.dtype.itemsize),
+            flops=(2 * b * p * sr * sr * d_pad * d_pad if sr > 1 else 0)
+            + 2 * 2 * b * m_pad * d_pad * heads * 128,
+            bytes_accessed=(b * n * d_pad * x.dtype.itemsize
+                            + 2 * b * heads * m_pad * 128 * x.dtype.itemsize
+                            + (wf.size + 2 * d_pad * heads * 128)
+                            * x.dtype.itemsize),
             transcendentals=0,
         ),
     )(x, vec(ln1_scale), vec(ln1_bias), wf, vec(sr_bias),
-      vec(srn_scale), vec(srn_bias))
-    return out
+      vec(srn_scale), vec(srn_bias), wk, bk, wv, bv)
+    return k, v, m
