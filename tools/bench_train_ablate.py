@@ -1,4 +1,11 @@
-"""Train-step cost by stage (depth ablation) and by objective."""
+"""Train-step cost by stage (depth ablation) and by objective.
+
+Round-3 cost map @ B=150 (total 121.9 ms/step, 1231 pairs/s): stage1 36.0,
+stage2 15.6, stage3 17.0, stage4 18.4, skeleton 34.7 (mlm loss 12.4, t2i
+head+loss 10.5, embeds/optimizer/masking ~12).  Kernel attribution: the
+fused-MLP VJP is the whole training-kernel win (18.8 ms); the pallas
+attention VJP measures neutral vs XLA attention (CLAUDE.md round-3 notes).
+"""
 import time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
@@ -45,5 +52,9 @@ def run(tag, depths=(2,2,2,2), lt=None):
 run("full 2222")
 run("no stage1 (0222)", (0,2,2,2))
 run("no stage2 (2022)", (2,0,2,2))
+run("no stage3 (2202)", (2,2,0,2))
+run("no stage4 (2220)", (2,2,2,0))
+run("skeleton (0000)", (0,0,0,0))
 run("no t2i head", lt=LossType(itm=True, mlm=True, t2i=False, cls=False))
 run("no mlm", lt=LossType(itm=True, mlm=False, t2i=True, cls=False))
+run("itm only", lt=LossType(itm=True, mlm=False, t2i=False, cls=False))
