@@ -326,7 +326,37 @@ class Block(nn.Module):
             normed = ((xf - mu) * jax.lax.rsqrt(var + self.ln_eps) * g1 + b1).astype(dtype)
 
         ap = p["attn"]
-        if self.sr_ratio > 1:
+        if self.linear_sr:
+            # PVT-v2 linear SRA front end (mirrors JointSRAttention's
+            # linear_sr branch exactly: avg-pool to <=7x7, 1x1 conv, LN,
+            # erf-GELU) — lets the v2 variant feed the fused attention-half
+            # kernel.  Never reached with a lane-padded stream (the 'full'
+            # stage padding is v1-only, fused_block_env_ok).
+            assert d_in == c, "linear_sr K/V path expects an unpadded stream"
+            pool = min(7, h, w)
+            win = (max(1, h // pool), max(1, w // pool))
+            vis = normed[:, : h * w, :].reshape(b, h, w, c)
+            vis = nn.avg_pool(vis, window_shape=win, strides=win)
+            vis = jnp.einsum(
+                "bhwc,co->bhwo", vis,
+                ap["sr"]["kernel"][0, 0].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype) + ap["sr"]["bias"].astype(dtype)
+            vis = vis.reshape(b, -1, c)
+            vf = vis.astype(jnp.float32)
+            vis = ((vf - vf.mean(-1, keepdims=True))
+                   * jax.lax.rsqrt(vf.var(-1, keepdims=True) + self.sr_ln_eps)
+                   * ap["norm"]["scale"].astype(jnp.float32)
+                   + ap["norm"]["bias"].astype(jnp.float32))
+            vis = jax.nn.gelu(vis, approximate=False).astype(dtype)
+            text = normed[:, h * w :, :c]
+            m = vis.shape[1] + text.shape[1]
+            m_pad = -(-m // 128) * 128 if padded_out else m
+            parts = [vis, text]
+            if m_pad != m:
+                parts.append(jnp.zeros((b, m_pad - m, c), dtype))
+            kv_in = jnp.concatenate(parts, axis=1)
+        elif self.sr_ratio > 1:
             sr = self.sr_ratio
             vis = normed[:, : h * w, :].reshape(b, h, w, d_in)
             kern = ap["sr"]["kernel"].astype(dtype)
@@ -536,7 +566,25 @@ class Block(nn.Module):
             and not self.drop and not self.attn_drop
             and not self.is_initializing() and jax.default_backend() == "tpu"
         )
+        # PVT-v2 inference can ride the same fused attention-half kernel (its
+        # attention math is identical to v1's; only the K/V front end
+        # differs — _xla_kv's linear_sr branch).  The DWConv MLP half stays
+        # in XLA (the 3x3 depthwise needs spatial halos a row-tiled stream
+        # kernel doesn't have).  OPT-IN via block_attn='mega' only: measured
+        # throughput-neutral on v5e (2125 vs 2150 pairs/s — the stream
+        # pad/unpad copies offset the kernel win while the DWConv MLP
+        # dominates), and the fused-path XLA compile at v2 shapes is
+        # pathologically slow over the tunneled backend, so the default
+        # ('full'/'auto') keeps v2 on the modular kernel path.
+        v2_mega_ok = (
+            self.variant == "v2" and self.use_pallas and deterministic
+            and not self.drop and not self.attn_drop
+            and self.block_attn == "mega"
+            and not self.is_initializing() and jax.default_backend() == "tpu"
+        )
         if fused_env_ok and want_mega:
+            x = self._fused_attention_half(x, hw)
+        elif v2_mega_ok:
             x = self._fused_attention_half(x, hw)
         elif fused_attn_train_ok:
             x = self._fused_attention_half(x, hw,
