@@ -69,6 +69,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="float32 compute (the reference's --fp32/no-AMP switch)")
     p.add_argument("--device-masks", action="store_true",
                    help="generate grid masks on device (halves image H2D traffic)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="k>1 scans k optimizer steps inside one jitted "
+                        "dispatch (numerically identical; amortizes host "
+                        "dispatch overhead on few-core hosts; metrics/NaN "
+                        "checks stay per-step, logged k at a time)")
     p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
@@ -262,17 +267,21 @@ def main(argv=None) -> None:
         # step regenerates masks on device / never reads masked input (CLS
         # fine-tune trains on clean images every step, train/step.py)
         drop_keys += ("masked_images",)
+    spd = max(1, args.steps_per_dispatch)
+    if spd > 1:
+        put = functools.partial(shard_batch, mesh, stacked=True)
     loader = DataLoader(train_ds, sampler, host_batch, put_fn=put,
                         num_workers=cfg.data.num_workers,
                         prefetch_depth=cfg.data.prefetch_depth,
-                        drop_keys=drop_keys)
+                        drop_keys=drop_keys, stack_steps=spd)
     train_step = make_train_step(
         model, cfg.model,
         device_masks=device_masks,
         mask_ratio=cfg.data.mask_ratio, mask_patch_size=cfg.data.mask_patch_size,
         # reference quirk (main_vl.py:435): fine-tuning from a checkpoint
         # trains with dropout/drop-path OFF (set_training_mode=finetune=='')
-        train_mode=not cfg.finetune)
+        train_mode=not cfg.finetune,
+        scan_steps=spd)
     eval_fn = make_vl_eval_fn(model, cfg.model)
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,
@@ -321,7 +330,7 @@ def main(argv=None) -> None:
         with trace(profile_dir):
             state, stats = train_one_epoch(train_step, state, loader, rng, epoch,
                                            lr_schedule=lr_schedule, log_every=cfg.log_every,
-                                           is_main=is_main)
+                                           is_main=is_main, steps_per_dispatch=spd)
         quality = None
         if epoch >= int(cfg.optim.epochs * cfg.save_every_frac):
             variables = {"params": state.params}

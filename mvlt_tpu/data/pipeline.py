@@ -35,6 +35,19 @@ def collate(items) -> Dict[str, np.ndarray]:
     return out
 
 
+def _stack_group(group) -> Dict[str, Any]:
+    """Stack k collated batches on a new leading [k] axis (tensors); collect
+    non-tensor values (info lists) into k-lists."""
+    out: Dict[str, Any] = {}
+    for key in group[0]:
+        vals = [b[key] for b in group]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
 class DataLoader:
     """Iterable over device-ready batches.
 
@@ -53,12 +66,18 @@ class DataLoader:
         eliminate) and for emitted-but-unconsumed labels (``t2i_labels``:
         the loss compares against the full image, reference
         engine_grid_masking.py:98-102).
+      stack_steps: k>1 groups k consecutive batches and emits ONE item with
+        every tensor stacked on a leading [k] axis (non-tensor values become
+        k-lists), for the multi-step scan dispatch
+        (make_train_step(scan_steps=k)).  Trailing partial groups are
+        dropped (static shapes).  put_fn then receives [k, B, ...] — shard
+        with ``stacked=True`` (parallel/sharding.shard_batch).
     """
 
     def __init__(self, dataset, sampler, batch_size: int,
                  put_fn: Optional[Callable] = None, num_workers: int = 4,
                  prefetch_depth: int = 2, drop_last: bool = True,
-                 drop_keys: tuple = ()):
+                 drop_keys: tuple = (), stack_steps: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -67,6 +86,7 @@ class DataLoader:
         self.prefetch_depth = max(1, prefetch_depth)
         self.drop_last = drop_last
         self.drop_keys = tuple(drop_keys)
+        self.stack_steps = max(1, stack_steps)
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
@@ -75,7 +95,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.sampler)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return n // self.stack_steps if self.stack_steps > 1 else n
 
     def __iter__(self) -> Iterator[Any]:
         indices = list(self.sampler)
@@ -88,6 +109,7 @@ class DataLoader:
 
         def produce():
             try:
+                group = []
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for start in range(0, len(indices), self.batch_size):
                         chunk = indices[start: start + self.batch_size]
@@ -95,6 +117,12 @@ class DataLoader:
                         batch = collate(items)
                         for key in self.drop_keys:
                             batch.pop(key, None)
+                        if self.stack_steps > 1:
+                            group.append(batch)
+                            if len(group) < self.stack_steps:
+                                continue
+                            batch = _stack_group(group)
+                            group = []
                         if self.put_fn is not None:
                             batch = self.put_fn(batch)
                         out_q.put(batch)

@@ -99,26 +99,30 @@ def state_shardings(mesh: Mesh, state: Any) -> Any:
     return _tree_shardings(mesh, state)
 
 
-def batch_sharding(mesh: Mesh, batch: Any) -> Any:
-    """Shard every batch tensor along its leading (batch) dim over ``data``."""
+def batch_sharding(mesh: Mesh, batch: Any, stacked: bool = False) -> Any:
+    """Shard every batch tensor along its batch dim over ``data`` — the
+    leading dim, or dim 1 when ``stacked`` (a [k, B, ...] multi-step group,
+    data/pipeline.DataLoader(stack_steps=k))."""
 
     def f(leaf):
         ndim = getattr(leaf, "ndim", 0)
-        if ndim == 0:
+        if ndim == 0 or (stacked and ndim == 1):
             return NamedSharding(mesh, P())
+        if stacked:
+            return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
         return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
     return jax.tree_util.tree_map(f, batch)
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, stacked: bool = False) -> Any:
     """Assemble a device batch with data-parallel sharding.
 
     Single-host: a plain device_put.  Multi-host SPMD: each host holds only
     its shard of the global batch (the samplers shard by process index), so
     the global array is assembled with make_array_from_process_local_data —
     the jax analogue of DDP's per-rank batches."""
-    shardings = batch_sharding(mesh, batch)
+    shardings = batch_sharding(mesh, batch, stacked=stacked)
     if jax.process_count() > 1:
         import numpy as np
 

@@ -28,8 +28,13 @@ from mvlt_tpu.utils.logging import MetricLogger
 
 def train_one_epoch(train_step, state, loader: Iterable, rng,
                     epoch: int, lr_schedule=None, log_every: int = 10,
-                    is_main: bool = True):
-    """Run one epoch; returns (state, stats dict of global averages)."""
+                    is_main: bool = True, steps_per_dispatch: int = 1):
+    """Run one epoch; returns (state, stats dict of global averages).
+
+    steps_per_dispatch=k>1 expects a multi-step ``train_step``
+    (make_train_step(scan_steps=k)) fed by a stacking loader
+    (DataLoader(stack_steps=k)): each iteration dispatches k optimizer steps
+    as one device program and drains k per-step metric rows."""
     logger = MetricLogger(is_main=is_main)
     pending = None  # (step_idx, device metrics) — fetched one step late
     # step index is tracked host-side: fetching int(state.step) each
@@ -44,12 +49,12 @@ def train_one_epoch(train_step, state, loader: Iterable, rng,
         state, metrics = train_step(state, feed, rng)
 
         if pending is not None:
-            _drain(pending, logger, lr_schedule)
+            _drain(pending, logger, lr_schedule, steps_per_dispatch)
         pending = (step_idx, metrics)
-        step_idx += 1
+        step_idx += steps_per_dispatch
 
     if pending is not None:
-        _drain(pending, logger, lr_schedule)
+        _drain(pending, logger, lr_schedule, steps_per_dispatch)
     logger.synchronize_between_processes()  # multi-host meter reduction
     stats = logger.global_averages()
     if is_main:
@@ -58,14 +63,20 @@ def train_one_epoch(train_step, state, loader: Iterable, rng,
     return state, stats
 
 
-def _drain(pending, logger: MetricLogger, lr_schedule) -> None:
+def _drain(pending, logger: MetricLogger, lr_schedule,
+           steps_per_dispatch: int = 1) -> None:
     step_idx, metrics = pending
-    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-    total = host.get("total_loss", 0.0)
-    if not math.isfinite(total):
-        parts = " | ".join(f"{k}={v:.4f}" for k, v in host.items())
-        print(f"[warning] non-finite total loss at step {step_idx}: {parts} "
-              f"— continuing (reference semantics: warn, don't abort)", flush=True)
-    logger.update(**host)
+    fetched = jax.device_get(metrics)
+    rows = ([{k: float(v) for k, v in fetched.items()}]
+            if steps_per_dispatch == 1 else
+            [{k: float(v[i]) for k, v in fetched.items()}
+             for i in range(steps_per_dispatch)])
+    for i, host in enumerate(rows):
+        total = host.get("total_loss", 0.0)
+        if not math.isfinite(total):
+            parts = " | ".join(f"{k}={v:.4f}" for k, v in host.items())
+            print(f"[warning] non-finite total loss at step {step_idx + i}: {parts} "
+                  f"— continuing (reference semantics: warn, don't abort)", flush=True)
+        logger.update(**host)
     if lr_schedule is not None:
-        logger.update(lr=float(lr_schedule(step_idx)))
+        logger.update(lr=float(lr_schedule(step_idx + len(rows) - 1)))

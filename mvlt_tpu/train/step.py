@@ -34,7 +34,8 @@ from mvlt_tpu.train.state import TrainState
 def make_train_step(model, cfg: ModelConfig, donate: bool = True,
                     device_masks: bool = False, mask_ratio: float = 0.5,
                     mask_patch_size: int = 16,
-                    train_mode: bool = True) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+                    train_mode: bool = True,
+                    scan_steps: int = 1) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted pre-training/fine-tuning step.
 
     device_masks=True generates the grid masks ON DEVICE and applies the
@@ -49,6 +50,17 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
     from a checkpoint the model trains in eval mode — dropout and drop-path
     OFF — which is metric-relevant for the published M-CR/S-CR results.
     Gradients still flow; only the stochastic regularizers are disabled.
+
+    scan_steps=k>1 returns a MULTI-STEP dispatch: the jitted fn takes a
+    stacked batch (every tensor with a leading [k] axis, see
+    DataLoader(stack_steps=k)) and lax.scans the single-step body k times
+    on device, returning per-sub-step metrics stacked [k].  Numerically
+    identical to k single dispatches (the per-step RNG folds in
+    ``state.step``, which advances inside the scan), but pays the host's
+    per-dispatch cost once per k steps — on a 1-core host that overhead
+    measured ~4 ms/step (CLAUDE.md; tools/bench_train_ablate.py vs
+    tools/bench_train_step.py).  No reference analogue: torch's eager
+    dispatch can't amortize this way.
     """
 
     use_masked_input = cfg.loss_type.t2i  # reference alternation only matters when t2i on
@@ -98,6 +110,14 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
         grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_batch_stats)
         return new_state, losses
+
+    if scan_steps > 1:
+        def train_scan(state: TrainState, batches: Dict[str, jnp.ndarray],
+                       rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+            return jax.lax.scan(
+                lambda st, b: train_step(st, b, rng), state, batches)
+
+        return jax.jit(train_scan, donate_argnums=(0,) if donate else ())
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

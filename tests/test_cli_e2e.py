@@ -34,6 +34,23 @@ def test_train_checkpoint_resume(run_dir):
     assert lines[-1]["epoch"] == 2
 
 
+def test_train_steps_per_dispatch(run_dir):
+    """--steps-per-dispatch 2 trains through the stacked loader + scanned
+    step: same orchestration path, one dispatch per 2 optimizer steps, with
+    per-step metric rows in the log averages."""
+    from mvlt_tpu.cli import main
+
+    argv = ["--config", "configs/test_micro.py", "--synthetic-data",
+            "--output-dir", run_dir, "--epochs", "1",
+            "--steps-per-dispatch", "2"]
+    main(argv)
+
+    log = os.path.join(run_dir, "train_log.jsonl")
+    lines = [json.loads(l) for l in open(log)]
+    assert len(lines) == 1 and "total_loss" in lines[0]
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint", "last"))
+
+
 def test_eval_mode(run_dir):
     from mvlt_tpu.cli import main
 

@@ -191,6 +191,26 @@ def test_dataloader_drop_keys_trims_device_batch():
     assert "images" in batches[0] and "input_ids" in batches[0]
 
 
+def test_dataloader_stack_steps_groups_batches():
+    """stack_steps=k emits [k, B, ...] groups (multi-step scan dispatch),
+    drops trailing partial groups, and reports the grouped length."""
+    from mvlt_tpu.data.fashion_gen import SyntheticFashionGen
+    from mvlt_tpu.data.pipeline import DataLoader
+    from mvlt_tpu.data.samplers import SequentialSampler
+
+    cfg = DataConfig(input_size=32, num_text_tokens=16,
+                     vocab_file=VOCAB, synthetic=True)
+    ds = SyntheticFashionGen(cfg, size=28)  # 7 batches of 4 -> 3 groups of 2
+    dl = DataLoader(ds, SequentialSampler(len(ds)), batch_size=4,
+                    stack_steps=2)
+    groups = list(dl)
+    assert len(dl) == 3 and len(groups) == 3
+    assert groups[0]["images"].shape == (2, 4, 32, 32, 3)
+    assert groups[0]["input_ids"].shape == (2, 4, 16)
+    # the two sub-batches are distinct consecutive batches
+    assert not np.array_equal(groups[0]["images"][0], groups[0]["images"][1])
+
+
 def test_dataloader_propagates_worker_errors():
     from mvlt_tpu.data.pipeline import DataLoader
     from mvlt_tpu.data.samplers import SequentialSampler

@@ -288,3 +288,53 @@ def test_hybrid_mesh_validation():
         make_hybrid_mesh(tp_size=1, n_slices=3)
     with pytest.raises(ValueError, match="not divisible"):
         make_hybrid_mesh(tp_size=3, n_slices=2)
+
+
+def test_scan_steps_matches_single_dispatch(setup):
+    """make_train_step(scan_steps=2) on a [2, B, ...]-stacked batch must be
+    numerically identical to two single-step dispatches (the per-step RNG
+    folds in state.step, which advances inside the scan), and the metrics
+    come back stacked per sub-step."""
+    cfg, model, state = setup
+    rng = jax.random.PRNGKey(9)
+    r = np.random.default_rng(11)
+    b0, b1 = make_batch(r), make_batch(r)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_ref, m0 = step(state, b0, rng)
+    s_ref, m1 = step(s_ref, b1, rng)
+
+    scan = make_train_step(model, cfg, donate=False, scan_steps=2)
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    s_scan, m = scan(state, stacked, rng)
+
+    assert m["total_loss"].shape == (2,)
+    np.testing.assert_allclose(float(m["total_loss"][0]), float(m0["total_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m["total_loss"][1]), float(m1["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s_scan.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_scan_steps_dp_sharded(setup):
+    """The multi-step dispatch under a DP8 mesh with stacked-batch sharding
+    (axis 1 = data) matches the single-device result."""
+    cfg, model, state = setup
+    rng = jax.random.PRNGKey(13)
+    r = np.random.default_rng(17)
+    b0, b1 = make_batch(r), make_batch(r)
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+
+    scan = make_train_step(model, cfg, donate=False, scan_steps=2)
+    s_single, m_single = scan(state, stacked, rng)
+
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    sharded = shard_batch(mesh, stacked, stacked=True)
+    s_dp, m_dp = scan(sharded_state, sharded, rng)
+
+    np.testing.assert_allclose(np.asarray(m_single["total_loss"]),
+                               np.asarray(m_dp["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s_dp.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
