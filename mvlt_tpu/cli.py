@@ -74,6 +74,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "dispatch (numerically identical; amortizes host "
                         "dispatch overhead on few-core hosts; metrics/NaN "
                         "checks stay per-step, logged k at a time)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="k>1 splits each batch into k sequential "
+                        "microbatches inside the step (averaged grads, "
+                        "threaded BN stats): ~k-fold lower activation "
+                        "memory at the same effective batch size")
     p.add_argument("--eval", action="store_true", help="pre-train metric eval on valid")
     p.add_argument("--eval-retrieval-itr", action="store_true")
     p.add_argument("--eval-retrieval-tir", action="store_true")
@@ -281,7 +286,10 @@ def main(argv=None) -> None:
         # reference quirk (main_vl.py:435): fine-tuning from a checkpoint
         # trains with dropout/drop-path OFF (set_training_mode=finetune=='')
         train_mode=not cfg.finetune,
-        scan_steps=spd)
+        scan_steps=spd, grad_accum=max(1, args.grad_accum))
+    if args.grad_accum > 1 and host_batch % args.grad_accum:
+        raise ValueError(f"--grad-accum {args.grad_accum} must divide the "
+                         f"per-host batch {host_batch}")
     eval_fn = make_vl_eval_fn(model, cfg.model)
 
     valid_ds = build_dataset("valid", cfg.data, itm_enabled=cfg.model.loss_type.itm,

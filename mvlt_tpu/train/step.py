@@ -35,7 +35,8 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
                     device_masks: bool = False, mask_ratio: float = 0.5,
                     mask_patch_size: int = 16,
                     train_mode: bool = True,
-                    scan_steps: int = 1) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+                    scan_steps: int = 1,
+                    grad_accum: int = 1) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted pre-training/fine-tuning step.
 
     device_masks=True generates the grid masks ON DEVICE and applies the
@@ -61,53 +62,98 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
     measured ~4 ms/step (CLAUDE.md; tools/bench_train_ablate.py vs
     tools/bench_train_step.py).  No reference analogue: torch's eager
     dispatch can't amortize this way.
+
+    grad_accum=k>1 splits each global batch into k sequential microbatches
+    inside the step (lax.scan): gradients average, BN stats thread
+    through, the parity alternation and LR step stay per OPTIMIZER step.
+    Peak activation memory drops ~k-fold for the same effective batch —
+    the lever for growing the reference's world batch (128/device default,
+    main_vl.py:31, with lr linearly scaled by world batch / 512,
+    main_vl.py:306) beyond what activations allow per chip.  Loss means are
+    averages of per-microbatch means (exact for the sample-mean losses;
+    the MLM mean renormalizes per microbatch label count, standard
+    grad-accumulation semantics).  Composes with scan_steps.
     """
 
     use_masked_input = cfg.loss_type.t2i  # reference alternation only matters when t2i on
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        step_rng = jax.random.fold_in(rng, state.step)
-
+    def _forward_backward(params, batch_stats, step, batch, mb_rng):
+        """Grads + losses + new BN stats for one (micro)batch.  ``step`` is
+        the OPTIMIZER step (the parity alternation is per optimizer step, so
+        every microbatch of a step shares it)."""
         if use_masked_input:
             images = batch["images"].astype(jnp.float32)
             if device_masks:
                 from mvlt_tpu.data.masks import device_apply_mask, device_grid_masks
 
-                mask_rng = jax.random.fold_in(step_rng, 1)
+                mask_rng = jax.random.fold_in(mb_rng, 1)
                 masks = device_grid_masks(
                     mask_rng, images.shape[0], images.shape[1],
                     mask_ratio, mask_patch_size)
                 masked = device_apply_mask(images, masks)
             else:
                 masked = batch["masked_images"].astype(jnp.float32)
-            is_odd = (state.step % 2 == 1)
+            is_odd = (step % 2 == 1)
             images_in = jnp.where(is_odd, masked, images)
         else:
             images_in = batch["images"].astype(jnp.float32)
 
         def loss_fn(params):
             variables = {"params": params}
-            has_bn = bool(state.batch_stats)
+            has_bn = bool(batch_stats)
             if has_bn:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = batch_stats
             out = model.apply(
                 variables, images_in, batch["input_ids"], train=train_mode,
                 mutable=["batch_stats"] if has_bn else False,
-                rngs={"dropout": step_rng},
+                rngs={"dropout": mb_rng},
             )
             if has_bn:
                 out, new_model_state = out
                 new_batch_stats = new_model_state["batch_stats"]
             else:
-                new_batch_stats = state.batch_stats
+                new_batch_stats = batch_stats
             losses = compute_losses(out, batch, cfg.num_super_classes,
                                     cfg.num_sub_classes,
                                     mlm_chunk=max(cfg.mlm_loss_chunk, 1),
                                     mlm_capacity_frac=cfg.mlm_capacity_frac)
             return losses["total_loss"], (losses, new_batch_stats)
 
-        grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, losses, new_batch_stats
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        if grad_accum == 1:
+            grads, losses, new_batch_stats = _forward_backward(
+                state.params, state.batch_stats, state.step, batch, step_rng)
+        else:
+            # split the global batch into grad_accum sequential microbatches:
+            # grads/losses average (equal microbatch sizes), BN stats thread
+            # sequentially (torch grad-accumulation semantics).  Peak HBM is
+            # one microbatch's activations + one param-sized grad buffer.
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]), batch)
+
+            def body(carry, idx_mb):
+                g_acc, bs = carry
+                i, mb = idx_mb
+                g, losses, bs = _forward_backward(
+                    state.params, bs, state.step, mb,
+                    jax.random.fold_in(step_rng, i))
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b / grad_accum, g_acc, g)
+                return (g_acc, bs), losses
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, new_batch_stats), losses = jax.lax.scan(
+                body, (zeros, state.batch_stats),
+                (jnp.arange(grad_accum), micro))
+            losses = jax.tree_util.tree_map(lambda l: l.mean(0), losses)
+
         new_state = state.apply_gradients(grads).replace(batch_stats=new_batch_stats)
         return new_state, losses
 

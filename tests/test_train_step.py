@@ -338,3 +338,74 @@ def test_scan_steps_dp_sharded(setup):
     for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
                     jax.tree_util.tree_leaves(jax.device_get(s_dp.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_grad_accum_matches_manual_average(setup):
+    """grad_accum=2 must apply the average of the two microbatches' grads
+    (and average their loss rows): compare against a manual two-halves
+    computation through the same forward."""
+    cfg, model, state = setup
+    rng = jax.random.PRNGKey(21)
+    r = np.random.default_rng(23)
+    batch = make_batch(r, b=B)
+
+    accum = make_train_step(model, cfg, donate=False, grad_accum=2)
+    s_accum, losses = accum(state, batch, rng)
+
+    # manual: per-microbatch grads through an instrumented single step with
+    # the SAME rng derivation (fold_in(step_rng, i)) and threaded BN stats
+    from mvlt_tpu.train.losses import compute_losses
+
+    step_rng = jax.random.fold_in(rng, state.step)
+    halves = [{k: v[:B // 2] for k, v in batch.items()},
+              {k: v[B // 2:] for k, v in batch.items()}]
+    grads_sum = None
+    bs = state.batch_stats
+    for i, half in enumerate(halves):
+        mb_rng = jax.random.fold_in(step_rng, i)
+        images_in = jnp.asarray(half["images"], jnp.float32)  # step 0: clean
+
+        def loss_fn(params, bs=bs, half=half, images_in=images_in, mb_rng=mb_rng):
+            variables = {"params": params, "batch_stats": bs}
+            out, new_ms = model.apply(
+                variables, images_in, jnp.asarray(half["input_ids"]),
+                train=True, mutable=["batch_stats"], rngs={"dropout": mb_rng})
+            losses = compute_losses(out, half, cfg.num_super_classes,
+                                    cfg.num_sub_classes,
+                                    mlm_chunk=max(cfg.mlm_loss_chunk, 1),
+                                    mlm_capacity_frac=cfg.mlm_capacity_frac)
+            return losses["total_loss"], new_ms["batch_stats"]
+
+        g, bs = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g)
+    grads_manual = jax.tree_util.tree_map(lambda x: x / 2, grads_sum)
+    s_manual = state.apply_gradients(grads_manual)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_manual.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s_accum.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_grad_accum_dp_sharded(setup):
+    """grad_accum under a DP8 mesh: microbatch reshape keeps the data
+    sharding valid and matches the single-device result."""
+    cfg, model, state = setup
+    rng = jax.random.PRNGKey(29)
+    batch = make_batch(np.random.default_rng(31), b=16)
+
+    accum = make_train_step(model, cfg, donate=False, grad_accum=2)
+    s_single, m_single = accum(state, batch, rng)
+
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    s_dp, m_dp = accum(sharded_state, shard_batch(mesh, batch), rng)
+
+    np.testing.assert_allclose(float(m_single["total_loss"]),
+                               float(m_dp["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s_dp.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
