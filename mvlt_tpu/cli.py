@@ -349,10 +349,14 @@ def main(argv=None) -> None:
             quality = eval_stats["quality_score"]
             stats.update({f"eval_{k}": v for k, v in eval_stats.items()})
         if is_main:
+            # async: returns once state is copied off device; serialization
+            # overlaps the next epoch (ckpt.wait() below collects the tail)
             ckpt.save_epoch(state, epoch, cfg.optim.epochs, quality, cfg.save_every_frac)
             with open(log_path, "a") as f:  # rank-0 JSONL (main_vl.py:500-502)
                 f.write(json.dumps({"epoch": epoch, "time": time.time() - t0,
                                     **{k: round(float(v), 6) for k, v in stats.items()}}) + "\n")
+    if is_main:
+        ckpt.wait()
 
 
 def _load_eval_variables(model, cfg: RunConfig, rng, mesh=None):

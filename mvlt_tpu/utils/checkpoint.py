@@ -98,12 +98,23 @@ def merge_params_by_path(params_template, restored,
 
 
 class CheckpointManager:
+    """Orbax-backed two-phase checkpointing.
+
+    Saves are ASYNC: ``save_epoch`` returns once the state is copied off
+    device (so donated training buffers can't race the fetch) and the
+    disk serialization overlaps the next epoch's compute; the JSON meta
+    sidecar is written only in ``wait()``, AFTER the data lands, so a
+    crash mid-write can't leave a meta file pointing at a torn
+    checkpoint.  ``wait()`` runs before any subsequent save/restore and
+    must be called once when training finishes (cli.py does)."""
+
     def __init__(self, output_dir: str, cfg: Optional[RunConfig] = None):
         self.root = os.path.abspath(os.path.join(output_dir, "checkpoint"))
         os.makedirs(self.root, exist_ok=True)
         self.cfg = cfg
         self.best_score = float("-inf")
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_meta: list = []
         meta = self._read_meta("best")
         if meta:
             self.best_score = meta.get("score", float("-inf"))
@@ -127,9 +138,17 @@ class CheckpointManager:
             json.dump(meta, f, indent=1)
 
     def _save(self, tag: str, state, epoch: int, score: Optional[float]) -> None:
+        # a prior async save to this dir must land before force-overwriting
+        self.wait()
         self._ckptr.save(self._path(tag), _state_pytree(state), force=True)
+        self._pending_meta.append((tag, epoch, score))
+
+    def wait(self) -> None:
+        """Block until in-flight async saves land; then write their meta."""
         self._ckptr.wait_until_finished()
-        self._write_meta(tag, epoch, score)
+        for tag, epoch, score in self._pending_meta:
+            self._write_meta(tag, epoch, score)
+        self._pending_meta = []
 
     # --- public API --------------------------------------------------------
     def save_epoch(self, state, epoch: int, total_epochs: int,
@@ -153,6 +172,7 @@ class CheckpointManager:
         run's checkpoint dir or an explicit path to another run/checkpoint
         (--resume <path>, main_vl.py:327-346).  Raises loudly if the target
         is missing instead of silently restarting from scratch."""
+        self.wait()
         path = resolve_checkpoint_path(tag_or_path, self.root)
         if not os.path.exists(path):
             raise FileNotFoundError(
@@ -173,6 +193,7 @@ class CheckpointManager:
         shape filtering (main_vl.py:284-290 semantics).  Template-free
         restore, so the checkpoint's opt_state / batch_stats / head shapes
         never have to match the fine-tune model's tree."""
+        self.wait()
         path = resolve_checkpoint_path(tag_or_path, self.root)
         restored = self._ckptr.restore(path)
         params = restored.get("params", restored)

@@ -100,3 +100,39 @@ def test_checkpoint_restore_missing_raises(tmp_path):
         ckpt.restore(state)
     with pytest.raises(FileNotFoundError):
         ckpt.restore(state, str(tmp_path / "nonexistent_run"))
+
+
+def test_checkpoint_async_meta_after_wait(tmp_path):
+    """Saves are async: the JSON meta sidecar is written only once wait()
+    confirms the data landed (no meta pointing at a torn checkpoint), and
+    a save->wait->restore round-trip is exact."""
+    import os
+
+    import jax.numpy as jnp
+    import optax
+
+    from mvlt_tpu.train.state import TrainState
+    from mvlt_tpu.utils.checkpoint import CheckpointManager
+
+    tx = optax.sgd(1e-3)
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state = TrainState(step=jnp.asarray(7, jnp.int32), params=params,
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save_epoch(state, 0, 9)
+    # meta is deferred until the async save lands
+    assert ckpt._pending_meta
+    ckpt.wait()
+    assert not ckpt._pending_meta
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint", "last.json"))
+
+    # restore (which waits internally) round-trips the state
+    fresh = TrainState(step=jnp.zeros((), jnp.int32),
+                       params={"w": jnp.zeros((4,), jnp.float32)},
+                       batch_stats={}, opt_state=tx.init(params), tx=tx)
+    restored, start_epoch = ckpt.restore(fresh, "last")
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(4, dtype=np.float32))
+    assert start_epoch == 1
