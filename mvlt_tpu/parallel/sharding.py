@@ -75,11 +75,30 @@ def _spec_for(path_str: str, leaf, axis_sizes: Dict[str, int]) -> P:
     return P()
 
 
-def _tree_shardings(mesh: Mesh, tree: Any) -> Any:
+def _zero1_spec(spec: P, leaf, axis_sizes: Dict[str, int]) -> P:
+    """Additionally shard the first unsharded divisible dim over ``data``
+    (ZeRO-1: optimizer moments are partitioned across DP replicas)."""
+    data = axis_sizes.get(DATA_AXIS, 1)
+    ndim = getattr(leaf, "ndim", 0)
+    if data <= 1 or ndim == 0:
+        return spec
+    axes = list(spec) + [None] * (ndim - len(spec))
+    for i, (dim, ax) in enumerate(zip(leaf.shape, axes)):
+        if ax is None and dim % data == 0:
+            axes[i] = DATA_AXIS
+            return P(*axes)
+    return spec
+
+
+def _tree_shardings(mesh: Mesh, tree: Any, zero1: bool = False) -> Any:
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
     def f(path, leaf):
-        return NamedSharding(mesh, _spec_for(_path_str(path), leaf, axis_sizes))
+        ps = _path_str(path)
+        spec = _spec_for(ps, leaf, axis_sizes)
+        if zero1 and "opt_state" in ps:
+            spec = _zero1_spec(spec, leaf, axis_sizes)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(f, tree)
 
@@ -90,13 +109,19 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     return _tree_shardings(mesh, params)
 
 
-def state_shardings(mesh: Mesh, state: Any) -> Any:
+def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
     """Shardings for a full TrainState (params + batch_stats + opt_state).
 
     Optimizer moments (mu/nu) mirror the param tree, so the same path rules
     apply — their leaf paths contain the param path as a suffix.
-    """
-    return _tree_shardings(mesh, state)
+
+    zero1=True additionally partitions every optimizer-state leaf over the
+    ``data`` axis (first unsharded divisible dim): the ZeRO-1 layout.
+    Params stay replicated across DP; GSPMD turns the gradient all-reduce
+    into reduce-scatter + sharded adamw update + param all-gather, cutting
+    optimizer-state HBM by the DP degree.  Numerics are unchanged
+    (tests/test_train_step.py::test_zero1_matches_single_device)."""
+    return _tree_shardings(mesh, state, zero1=zero1)
 
 
 def batch_sharding(mesh: Mesh, batch: Any, stacked: bool = False) -> Any:

@@ -409,3 +409,35 @@ def test_grad_accum_dp_sharded(setup):
                     jax.tree_util.tree_leaves(jax.device_get(s_dp.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_zero1_matches_single_device(setup):
+    """ZeRO-1 layout (optimizer moments partitioned over data) must leave
+    the training numerics untouched: DP8+zero1 step == single-device step,
+    and the moment leaves really are data-sharded."""
+    from mvlt_tpu.parallel.sharding import DATA_AXIS
+
+    cfg, model, state = setup
+    batch = make_batch(np.random.default_rng(41))
+    rng = jax.random.PRNGKey(43)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_single, _ = step(state, batch, rng)
+
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    shardings = state_shardings(mesh, state, zero1=True)
+    # at least the big moment tensors must carry the data axis
+    specs = [sh.spec for sh in jax.tree_util.tree_leaves(
+        shardings.opt_state, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any(DATA_AXIS in [a for a in sp if a is not None] for sp in specs)
+
+    sharded_state = jax.device_put(state, shardings)
+    s_z, _ = step(sharded_state, shard_batch(mesh, batch), rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s_z.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    # the updated moments keep their zero1 placement (no silent re-layout)
+    new_specs = [x.sharding.spec for x in jax.tree_util.tree_leaves(s_z.opt_state)
+                 if hasattr(x, "sharding")]
+    assert any(DATA_AXIS in [a for a in sp if a is not None] for sp in new_specs)
