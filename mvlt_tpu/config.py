@@ -125,6 +125,12 @@ class ModelConfig:
     # XLA paths (fp32 CPU parity oracle, modular fallback) always use exact
     # erf; 'erf' restores the A&S form in the kernels too.
     kernel_gelu: str = "tanh"
+    # v2-only: serve the DWConv MLP half through the whole-image fused
+    # Pallas kernel (ops/dwconv_mlp.py — LN+fc1+in-VMEM 9-shift depthwise+
+    # GELU+fc2, the hidden activation never touches HBM).  Default OFF
+    # pending on-device verification + measurement (tools/tpu_dwconv_check
+    # .py); interpret-mode parity is tested either way.
+    dwconv_mlp_kernel: bool = False
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)

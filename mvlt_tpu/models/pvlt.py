@@ -278,6 +278,7 @@ class Block(nn.Module):
     fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
     fused_attn_train: bool = False  # ModelConfig.fused_attn_train
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
+    dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -652,6 +653,28 @@ class Block(nn.Module):
                 eps=self.ln_eps, gelu=self.kernel_gelu,
             )
 
+        # v2 serving: the whole-image fused DWConv-MLP kernel
+        # (ops/dwconv_mlp.py) — LN2 + fc1 + in-VMEM depthwise 3x3 + GELU +
+        # fc2 + residual in one pass; the ratio-8 hidden never touches HBM.
+        h_, w_ = hw
+        v2_mlp_fused = (
+            self.variant == "v2" and self.dwconv_kernel and self.use_pallas
+            and deterministic and not self.drop
+            and h_ % 8 == 0 and w_ % 8 == 0 and x.shape[1] % 8 == 0
+            and not self.is_initializing() and jax.default_backend() == "tpu"
+        )
+        if v2_mlp_fused:
+            from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp
+
+            p = self.variables["params"]
+            return fused_dwconv_mlp(
+                x, p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+                p["mlp"]["dwconv"]["kernel"], p["mlp"]["dwconv"]["bias"],
+                p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+                hw=hw, eps=self.ln_eps, gelu=self.kernel_gelu,
+            )
+
         normed = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         if self.variant == "v2":
             mlp_out = DWConvMlp(
@@ -805,6 +828,7 @@ class PVLT(nn.Module):
                     fused_mlp_train=cfg.fused_mlp_train,
                     fused_attn_train=cfg.fused_attn_train,
                     kernel_gelu=cfg.kernel_gelu,
+                    dwconv_kernel=cfg.dwconv_mlp_kernel,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
