@@ -52,6 +52,16 @@ def main() -> None:
     expect = float(np.arange(8).sum() * 3)
     assert float(total) == expect, (float(total), expect)
 
+    # stacked multi-step group: [k, B_local, ...] assembles to
+    # [k, B_global, ...] with the data axis on dim 1 (the
+    # --steps-per-dispatch loader contract, shard_batch(stacked=True))
+    stacked = {"x": np.stack([batch["x"], batch["x"] + 100.0])}
+    g2 = shard_batch(mesh, stacked, stacked=True)
+    assert g2["x"].shape == (2, 8, 3), g2["x"].shape
+    tot2 = jax.jit(lambda b: b["x"].sum(axis=(1, 2)))(g2)
+    want0 = float(np.arange(8).sum() * 3)
+    assert np.allclose(np.asarray(tot2), [want0, want0 + 100.0 * 24]), tot2
+
     meter = SmoothedValue()
     meter.update(float(rank + 1), n=2)      # r0: (2, 2.0); r1: (2, 4.0)
     meter.synchronize_between_processes()
