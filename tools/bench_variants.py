@@ -22,9 +22,18 @@ ids = jnp.asarray(rng.integers(0, 30522, (ITERS, B, 128)), jnp.int32)
 
 
 def bench(name):
+    import os
+    over = {}
+    # post-measurement A/B knobs: MVLT_BLOCK_ATTN=mega|full|none,
+    # MVLT_DWCONV_KERNEL=1 (the v2 fused DWConv-MLP kernel)
+    if os.environ.get("MVLT_BLOCK_ATTN"):
+        over["block_attn_kernel"] = os.environ["MVLT_BLOCK_ATTN"]
+    if os.environ.get("MVLT_DWCONV_KERNEL") == "1":
+        over["dwconv_mlp_kernel"] = True
     cfg = ModelConfig(name=name,
                       loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
-                      compute_dtype="bfloat16", use_pallas_attention=True)
+                      compute_dtype="bfloat16", use_pallas_attention=True,
+                      **over)
     model = create_model(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0, :1], ids[0, :1])
 
