@@ -137,35 +137,12 @@ def flops_per_pair(cfg, input_size: int) -> dict:
     return {"backbone": backbone, "mlm": float(mlm), "t2i": t2i}
 
 
-def _backend_or_die(timeout_s: int = 180):
-    """jax.devices() with a watchdog: the axon tunnel, when dead, HANGS
-    backend init forever (CLAUDE.md tunnel-outage playbook) — fail fast
-    with a diagnostic instead of stalling the driver."""
-    import os
-    import sys
-    import threading
-
-    done = threading.Event()
-
-    def watchdog():
-        if not done.wait(timeout_s):
-            print(f"bench.py: jax backend init did not complete within "
-                  f"{timeout_s}s — the axon TPU tunnel is unreachable "
-                  f"(see CLAUDE.md tunnel-outage playbook); aborting",
-                  file=sys.stderr, flush=True)
-            os._exit(2)
-
-    threading.Thread(target=watchdog, daemon=True).start()
-    devices = jax.devices()
-    done.set()
-    return devices
-
-
 def main() -> None:
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
+    from mvlt_tpu.utils.backend import backend_or_die
 
-    _backend_or_die()
+    backend_or_die()
     on_tpu = jax.default_backend() not in ("cpu",)
     cfg = ModelConfig(
         loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),

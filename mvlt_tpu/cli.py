@@ -151,9 +151,12 @@ def build_run_config(args) -> RunConfig:
 
 
 def main(argv=None) -> None:
+    from mvlt_tpu.utils.backend import backend_or_die
+
     args = get_args_parser().parse_args(argv)
     cfg = build_run_config(args)
     maybe_init_distributed()
+    backend_or_die()  # a dead device transport hangs forever otherwise
     is_main = jax.process_index() == 0
 
     mesh = make_mesh(dp_size=cfg.dp_size, tp_size=cfg.tp_size)

@@ -102,19 +102,26 @@ class CheckpointManager:
 
     Saves are ASYNC: ``save_epoch`` returns once the state is copied off
     device (so donated training buffers can't race the fetch) and the
-    disk serialization overlaps the next epoch's compute; the JSON meta
-    sidecar is written only in ``wait()``, AFTER the data lands, so a
-    crash mid-write can't leave a meta file pointing at a torn
-    checkpoint.  ``wait()`` runs before any subsequent save/restore and
-    must be called once when training finishes (cli.py does)."""
+    disk serialization overlaps the next epoch's compute.  The JSON meta
+    sidecar is written by a watcher thread the moment the data commits —
+    never before (a crash mid-serialization can't leave a meta file
+    pointing at a torn checkpoint) and never a whole epoch late (a crash
+    during the NEXT epoch still resumes at the epoch just saved).
+    ``wait()`` runs before any subsequent save/restore, surfaces async
+    save errors, and must be called once when training finishes (cli.py
+    does)."""
 
     def __init__(self, output_dir: str, cfg: Optional[RunConfig] = None):
+        import threading
+
         self.root = os.path.abspath(os.path.join(output_dir, "checkpoint"))
         os.makedirs(self.root, exist_ok=True)
         self.cfg = cfg
         self.best_score = float("-inf")
         self._ckptr = ocp.StandardCheckpointer()
         self._pending_meta: list = []
+        self._meta_lock = threading.Lock()
+        self._watcher: Optional[threading.Thread] = None
         meta = self._read_meta("best")
         if meta:
             self.best_score = meta.get("score", float("-inf"))
@@ -138,17 +145,40 @@ class CheckpointManager:
             json.dump(meta, f, indent=1)
 
     def _save(self, tag: str, state, epoch: int, score: Optional[float]) -> None:
+        import threading
+
         # a prior async save to this dir must land before force-overwriting
         self.wait()
         self._ckptr.save(self._path(tag), _state_pytree(state), force=True)
-        self._pending_meta.append((tag, epoch, score))
+        with self._meta_lock:
+            self._pending_meta.append((tag, epoch, score))
+        # watcher: write the meta as soon as the data commits (a failed
+        # save leaves the meta unwritten; the error re-raises in wait())
+        self._watcher = threading.Thread(target=self._flush_on_commit,
+                                         daemon=True)
+        self._watcher.start()
+
+    def _flush_on_commit(self) -> None:
+        try:
+            self._ckptr.wait_until_finished()
+        except Exception:
+            return  # meta stays unwritten; wait() surfaces the error
+        self._flush_meta()
+
+    def _flush_meta(self) -> None:
+        with self._meta_lock:
+            pending, self._pending_meta = self._pending_meta, []
+        for tag, epoch, score in pending:
+            self._write_meta(tag, epoch, score)
 
     def wait(self) -> None:
-        """Block until in-flight async saves land; then write their meta."""
-        self._ckptr.wait_until_finished()
-        for tag, epoch, score in self._pending_meta:
-            self._write_meta(tag, epoch, score)
-        self._pending_meta = []
+        """Block until in-flight async saves land (re-raising their
+        errors); any meta the watcher hasn't flushed yet is written here."""
+        if self._watcher is not None:
+            self._watcher.join()
+            self._watcher = None
+        self._ckptr.wait_until_finished()  # no-op on success; raises errors
+        self._flush_meta()
 
     # --- public API --------------------------------------------------------
     def save_epoch(self, state, epoch: int, total_epochs: int,

@@ -8,17 +8,7 @@ import numpy as np
 import pytest
 
 
-def _run_interpret(fn, *args, **kwargs):
-    import jax.experimental.pallas as pl
-
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    with mock.patch.object(pl, "pallas_call", patched):
-        return fn(*args, **kwargs)
+from tests.kernel_utils import run_interpret as _run_interpret
 
 
 @pytest.mark.parametrize("n,d,h,m", [(96, 64, 1, 24), (40, 128, 2, 24), (32, 256, 4, 20)])

@@ -103,10 +103,11 @@ def test_checkpoint_restore_missing_raises(tmp_path):
 
 
 def test_checkpoint_async_meta_after_wait(tmp_path):
-    """Saves are async: the JSON meta sidecar is written only once wait()
-    confirms the data landed (no meta pointing at a torn checkpoint), and
-    a save->wait->restore round-trip is exact."""
+    """Saves are async, but the meta sidecar appears as soon as the data
+    commits — WITHOUT any wait() call — so a crash during the next epoch
+    still resumes at the epoch just saved; and the round-trip is exact."""
     import os
+    import time as _time
 
     import jax.numpy as jnp
     import optax
@@ -121,11 +122,14 @@ def test_checkpoint_async_meta_after_wait(tmp_path):
 
     ckpt = CheckpointManager(str(tmp_path))
     ckpt.save_epoch(state, 0, 9)
-    # meta is deferred until the async save lands
-    assert ckpt._pending_meta
+    meta_path = os.path.join(str(tmp_path), "checkpoint", "last.json")
+    # the watcher thread writes the meta once the save lands — no wait()
+    deadline = _time.time() + 30
+    while not os.path.exists(meta_path) and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert os.path.exists(meta_path)
     ckpt.wait()
     assert not ckpt._pending_meta
-    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint", "last.json"))
 
     # restore (which waits internally) round-trips the state
     fresh = TrainState(step=jnp.zeros((), jnp.int32),

@@ -12,17 +12,7 @@ import numpy as np
 import pytest
 
 
-def _run_interpret(fn, *args, **kwargs):
-    import jax.experimental.pallas as pl
-
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    with mock.patch.object(pl, "pallas_call", patched):
-        return fn(*args, **kwargs)
+from tests.kernel_utils import run_interpret as _run_interpret
 
 
 @pytest.mark.parametrize("dim,heads,sr,hw,t", [

@@ -1,4 +1,6 @@
 import jax, jax.numpy as jnp, numpy as np
+from mvlt_tpu.utils.backend import backend_or_die
+backend_or_die()  # fail fast if the TPU tunnel is dead
 from mvlt_tpu.ops.attention import _attention_xla
 from mvlt_tpu.ops.pallas_attention import fused_attention
 rng = np.random.default_rng(0)

@@ -12,6 +12,9 @@ import numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+from mvlt_tpu.utils.backend import backend_or_die
+backend_or_die()  # fail fast if the TPU tunnel is dead
+
 from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp
 
 T = 128
@@ -37,7 +40,9 @@ def ref(x, g, be, w1, b1, kdw, bdw, w2, b2, hw, eps):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=w1.shape[1]) + bdw.astype(x.dtype)
     hid = jnp.concatenate([vis.reshape(bsz, h * w, -1), hid[:, h * w:]], axis=1)
-    act = jax.nn.gelu(hid.astype(jnp.float32), approximate=False).astype(x.dtype)
+    # module-dtype GELU, exactly like DWConvMlp (no fp32 upcast — the
+    # timing baseline must be the production XLA path, not a strawman)
+    act = jax.nn.gelu(hid, approximate=False)
     return x + (act @ w2.astype(x.dtype)) + b2.astype(x.dtype)
 
 
@@ -60,25 +65,34 @@ def main():
         want = np.asarray(jax.jit(ref, static_argnames=("hw", "eps"))(
             x, g, be, w1, b1, kdw, bdw, w2, b2, hw=(h, w), eps=1e-6),
             dtype=np.float32)
-        got = np.asarray(fused_dwconv_mlp(
-            x, g, be, w1, b1, kdw, bdw, w2, b2, hw=(h, w), eps=1e-6,
-            gelu="erf"), dtype=np.float32)
-        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-        print(f"stage C={c} hw={h}x{w}: rel-err {err:.2e} "
-              f"{'OK' if err < 5e-2 else 'FAIL'}", flush=True)
+        # parity at BOTH gelu forms: 'erf' (tight tolerance) and 'tanh'
+        # (what serving ships by default, kernel_gelu — looser bound only
+        # from the documented 4.7e-4 tanh-vs-erf divergence)
+        for form, tol in (("erf", 5e-2), ("tanh", 6e-2)):
+            got = np.asarray(fused_dwconv_mlp(
+                x, g, be, w1, b1, kdw, bdw, w2, b2, hw=(h, w), eps=1e-6,
+                gelu=form), dtype=np.float32)
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            print(f"stage C={c} hw={h}x{w} gelu={form}: rel-err {err:.2e} "
+                  f"{'OK' if err < tol else 'FAIL'}", flush=True)
 
-        # timing slope (scan, two rep counts)
+        # timing slope over DISTINCT staged inputs threaded through the
+        # scan as xs — a loop-invariant closure would let XLA hoist the
+        # body out of the loop and time nothing (CLAUDE.md methodology)
+        REPS_LO, REPS_HI = 4, 12
+        xs = jnp.asarray(rng.normal(size=(REPS_HI, b, n, c)), jnp.bfloat16)
+
         def bench(fn, reps):
             @jax.jit
-            def run(x):
-                def step(acc, _):
-                    return acc + fn(x).astype(jnp.float32).sum(), None
-                return jax.lax.scan(step, jnp.float32(0.0), None, length=reps)[0]
-            np.asarray(run(x))
+            def run(xs):
+                def step(acc, xx):
+                    return acc + fn(xx).astype(jnp.float32).sum(), None
+                return jax.lax.scan(step, jnp.float32(0.0), xs[:reps])[0]
+            np.asarray(run(xs))
             dt = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(run(x))
+                np.asarray(run(xs))
                 dt = min(dt, time.perf_counter() - t0)
             return dt
         fused = lambda xx: fused_dwconv_mlp(
@@ -86,7 +100,7 @@ def main():
             gelu="tanh")
         xla = lambda xx: ref(xx, g, be, w1, b1, kdw, bdw, w2, b2, (h, w), 1e-6)
         for name, fn in (("fused", fused), ("xla", xla)):
-            ms = (bench(fn, 12) - bench(fn, 4)) / 8 * 1000
+            ms = (bench(fn, REPS_HI) - bench(fn, REPS_LO)) / (REPS_HI - REPS_LO) * 1000
             print(f"  {name}: {ms:.3f} ms/call @B={b}", flush=True)
 
 

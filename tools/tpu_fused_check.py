@@ -3,6 +3,9 @@ import dataclasses, time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from mvlt_tpu.utils.backend import backend_or_die
+backend_or_die()  # fail fast if the TPU tunnel is dead
 from mvlt_tpu.config import LossType, ModelConfig
 from mvlt_tpu.models import create_model
 
