@@ -25,7 +25,9 @@ from mvlt_tpu.train.state import create_train_state
 from mvlt_tpu.train.step import make_train_step
 
 B = 150
-N_BATCHES = 8  # distinct batches, reused round-robin
+N_BATCHES = 8  # distinct single batches; divided by k for stacked groups
+               # (HBM: a [4,150,256,256,3] fp32 pair is ~950 MB — 8 such
+               # groups would not fit a 16 GB chip)
 
 cfg = ModelConfig(loss_type=LossType(itm=True, mlm=True, t2i=True, cls=False),
                   compute_dtype="bfloat16", use_pallas_attention=True,
@@ -38,9 +40,9 @@ tx = make_optimizer(OptimConfig(epochs=150, batch_size=B), B, 1000)
 
 
 def make_batches(k):
-    """N_BATCHES device-staged batches; with k>1 each is a [k,B,...] stack."""
+    """Device-staged distinct batches; with k>1 each is a [k,B,...] stack."""
     out = []
-    for i in range(N_BATCHES):
+    for i in range(max(2, N_BATCHES // k)):
         r = np.random.default_rng(100 + i)
         shape = (k, B) if k > 1 else (B,)
         out.append(dict(
@@ -64,11 +66,11 @@ def bench(k):
     loss0 = np.asarray(losses["total_loss"])
     print(f"k={k} warm loss: {float(np.ravel(loss0)[0]):.4f}", flush=True)
     best = 1e9
+    N = 24 // k  # dispatches per timed rep (same optimizer-step count per k)
     for _ in range(3):
         t0 = time.perf_counter()
-        N = 12 // k if k > 1 else 12
         for i in range(N):
-            state, losses = step(state, batches[i % N_BATCHES], key)
+            state, losses = step(state, batches[i % len(batches)], key)
         np.asarray(losses["total_loss"])  # force the chain
         best = min(best, (time.perf_counter() - t0) / (N * k))
     print(f"k={k}: {best*1000:.1f} ms/step, {B/best:.0f} pairs/s", flush=True)
