@@ -1,0 +1,49 @@
+"""Model-level routing test for the v2 fused serving paths.
+
+The v2 kernel gates require jax.default_backend() == 'tpu', so on the CPU
+test mesh the fused wiring (param-tree paths, argument order into
+ops/dwconv_mlp.py and the fused attention half) never executes — a wiring
+bug would only surface on hardware at flip time.  Here we force the gates
+open (backend mock + pallas interpret mode) and check the WHOLE v2 model
+forward against the unfused path."""
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.kernel_utils import run_interpret
+
+
+def _model(dwconv_kernel: bool, block_attn: str):
+    from mvlt_tpu.config import LossType, ModelConfig
+    from mvlt_tpu.models import create_model
+
+    cfg = ModelConfig(
+        name="pvlt_v2_tiny", variant="v2",
+        img_size=64, embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 2, 4),
+        mlp_ratios=(4, 4, 2, 2), token_hidden_size=32, num_text_tokens=16,
+        vocab_size=64, max_position_embeddings=32, itg_channel=8,
+        compute_dtype="float32", use_pallas_attention=True,
+        drop_path_rate=0.0, kernel_gelu="erf",
+        loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
+        dwconv_mlp_kernel=dwconv_kernel, block_attn_kernel=block_attn,
+    )
+    return create_model(cfg)
+
+
+def test_v2_fused_serving_paths_match_unfused():
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
+
+    base = _model(dwconv_kernel=False, block_attn="none")
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), imgs, ids)
+    want = np.asarray(base.apply(variables, imgs, ids, train=False)["itm_logits"])
+
+    fused = _model(dwconv_kernel=True, block_attn="mega")
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        got = run_interpret(
+            lambda: fused.apply(variables, imgs, ids, train=False)["itm_logits"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
