@@ -203,3 +203,41 @@ def test_fused_swin_attention_matches_xla(rng):
         got = fused_swin_attention(q, kw, vw, kt, vt, add, scale=scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_swin_fused_routing_matches_unfused():
+    """Model-level: the fused windowed-attention serving gate forced open
+    (backend mock + interpret mode) matches the unfused forward through
+    the real param tree (same guard as tests/test_v2_fused_routing.py)."""
+    from unittest import mock
+
+    import jax
+
+    from mvlt_tpu.config import LossType, ModelConfig
+    from mvlt_tpu.models import create_model
+    from tests.kernel_utils import run_interpret
+
+    rng = np.random.default_rng(9)
+
+    def build(use_pallas):
+        cfg = ModelConfig(
+            name="pvlt_swin_tiny", img_size=32, embed_dims=(8, 16, 32, 64),
+            num_heads=(1, 2, 2, 4), mlp_ratios=(2, 2, 2, 2), window_size=4,
+            token_hidden_size=32, num_text_tokens=8, vocab_size=128,
+            max_position_embeddings=16, itg_channel=8, compute_dtype="float32",
+            use_pallas_attention=use_pallas, drop_path_rate=0.0,
+            kernel_gelu="erf",
+            loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False))
+        return create_model(cfg)
+
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 8)), jnp.int32)
+    base = build(False)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), imgs, ids)
+    want = np.asarray(base.apply(variables, imgs, ids, train=False)["itm_logits"])
+
+    fused = build(True)
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        got = run_interpret(
+            lambda: fused.apply(variables, imgs, ids, train=False)["itm_logits"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
