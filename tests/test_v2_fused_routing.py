@@ -16,16 +16,17 @@ import numpy as np
 from tests.kernel_utils import run_interpret
 
 
-def _model(dwconv_kernel: bool, block_attn: str):
+def _model(dwconv_kernel: bool, block_attn: str, linear_sr: bool = False,
+           use_pallas: bool = True):
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
 
     cfg = ModelConfig(
-        name="pvlt_v2_tiny", variant="v2",
+        name="pvlt_v2_tiny", variant="v2", linear_sr=linear_sr,
         img_size=64, embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 2, 4),
         mlp_ratios=(4, 4, 2, 2), token_hidden_size=32, num_text_tokens=16,
         vocab_size=64, max_position_embeddings=32, itg_channel=8,
-        compute_dtype="float32", use_pallas_attention=True,
+        compute_dtype="float32", use_pallas_attention=use_pallas,
         drop_path_rate=0.0, kernel_gelu="erf",
         loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
         dwconv_mlp_kernel=dwconv_kernel, block_attn_kernel=block_attn,
@@ -33,17 +34,26 @@ def _model(dwconv_kernel: bool, block_attn: str):
     return create_model(cfg)
 
 
-def test_v2_fused_serving_paths_match_unfused():
+def _check(linear_sr: bool):
     rng = np.random.default_rng(3)
     imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
 
-    base = _model(dwconv_kernel=False, block_attn="none")
+    base = _model(dwconv_kernel=False, block_attn="none",
+                  linear_sr=linear_sr, use_pallas=False)
     variables = jax.jit(base.init)(jax.random.PRNGKey(0), imgs, ids)
     want = np.asarray(base.apply(variables, imgs, ids, train=False)["itm_logits"])
 
-    fused = _model(dwconv_kernel=True, block_attn="mega")
+    fused = _model(dwconv_kernel=True, block_attn="mega", linear_sr=linear_sr)
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         got = run_interpret(
             lambda: fused.apply(variables, imgs, ids, train=False)["itm_logits"])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_v2_fused_serving_paths_match_unfused():
+    _check(linear_sr=False)   # conv-SR K/V front end (s2d+GEMM branch)
+
+
+def test_v2_linear_sr_fused_serving_paths_match_unfused():
+    _check(linear_sr=True)    # avg-pool linear-SRA K/V front end
