@@ -333,7 +333,11 @@ class Block(nn.Module):
             # erf-GELU) — lets the v2 variant feed the fused attention-half
             # kernel.  Never reached with a lane-padded stream (the 'full'
             # stage padding is v1-only, fused_block_env_ok).
-            assert d_in == c, "linear_sr K/V path expects an unpadded stream"
+            if d_in != c:
+                raise ValueError(
+                    f"linear_sr K/V path expects an unpadded stream "
+                    f"(got width {d_in} != dim {c}); the 'full' stage "
+                    f"padding is v1-only (fused_block_env_ok)")
             pool = min(7, h, w)
             win = (max(1, h // pool), max(1, w // pool))
             vis = normed[:, : h * w, :].reshape(b, h, w, c)
