@@ -127,10 +127,12 @@ class ModelConfig:
     kernel_gelu: str = "tanh"
     # v2-only: serve the DWConv MLP half through the whole-image fused
     # Pallas kernel (ops/dwconv_mlp.py — LN+fc1+in-VMEM 9-shift depthwise+
-    # GELU+fc2, the hidden activation never touches HBM).  Default OFF
-    # pending on-device verification + measurement (tools/tpu_dwconv_check
-    # .py); interpret-mode parity is tested either way.
-    dwconv_mlp_kernel: bool = False
+    # GELU+fc2, the hidden activation never touches HBM).  Default ON by
+    # measurement: pvlt_v2_tiny serving 2163 -> 3803 pairs/s @ B=101 on
+    # v5e (tools/bench_variants.py, 2026-08-18); on-device parity green at
+    # all 4 stage shapes (tools/tpu_dwconv_check.py).  TPU-gated at the
+    # call site — CPU falls back to the XLA path either way.
+    dwconv_mlp_kernel: bool = True
     remat: bool = False              # jax.checkpoint each Block (memory <-> FLOPs)
     # training computes the MLM CE in row chunks of this size instead of
     # materializing [B, T, vocab] logits (0 disables; eval always decodes)
