@@ -47,7 +47,14 @@ class BertEmbeddings(nn.Module):
             name="token_type_embeddings",
         )
         position_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
-        x = word_emb(input_ids) + pos_emb(position_ids) + type_emb(jnp.zeros_like(input_ids))
+        # The reference always passes token_type_ids == 0, so the type
+        # embedding is one row broadcast over [B, T].  Looking it up as a
+        # [B, T] gather of the same row makes its VJP a fully-colliding
+        # 19200-way scatter-add into one row on TPU; looking up [1, 1] and
+        # broadcasting is bitwise-identical forward and turns the backward
+        # into a plain sum.
+        type_row = type_emb(jnp.zeros((1, 1), jnp.int32))
+        x = word_emb(input_ids) + pos_emb(position_ids) + type_row
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="LayerNorm")(x)
         x = nn.Dropout(rate=self.dropout_rate)(x, deterministic=deterministic)
         return x

@@ -82,10 +82,16 @@ def chunked_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
         r, l = xs
         logits = jnp.einsum("ch,vh->cv", r, table.astype(r.dtype),
                             preferred_element_type=jnp.float32) + bias
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        # nll = logsumexp(logits) - logits[label]: same value as
+        # -log_softmax(logits)[label] but never materializes the second
+        # [chunk, vocab] fp32 array (125 MB/chunk here), which the fwd AND
+        # the remat recompute would each write+read back from HBM.
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1)) + m[:, 0]
         valid = l != MLM_IGNORE_INDEX
         safe = jnp.where(valid, l, 0)
-        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        picked = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        nll = lse - picked
         s, c = carry
         return (s + jnp.where(valid, nll, 0.0).sum(), c + valid.sum()), None
 
