@@ -725,7 +725,8 @@ class PVLT(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, input_ids: jnp.ndarray, *,
-                 train: bool = False) -> Dict[str, Any]:
+                 train: bool = False,
+                 mlm_row_idx: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
         cfg = self.cfg
         det = not train
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -863,9 +864,20 @@ class PVLT(nn.Module):
             return nn.LayerNorm(epsilon=cfg.other_ln_eps, dtype=dtype, name=f"{name}_ln")(z)
 
         if lt.mlm:
-            mlm_feat = adapter("mlm_head_embed", last_text)
             table = self.variables["params"]["text_embeddings"]["word_embeddings"]["embedding"]
             decode = not (train and cfg.mlm_loss_chunk > 0)
+            if mlm_row_idx is not None and not decode:
+                # Pre-transform row gather (train/losses.py:mlm_gather_plan):
+                # only ~capacity of the B*T text rows carry an MLM label, so
+                # gather them BEFORE the head adapter + BertHeadTransform —
+                # the Dense(dim->768)+LN and Dense(768->768)+GELU+LN then run
+                # on [capacity] rows instead of all B*T, forward AND backward.
+                # The loss must be computed against the plan's sel_labels.
+                d = last_text.shape[-1]
+                sel = jnp.take(last_text.reshape(-1, d), mlm_row_idx, axis=0)
+                mlm_feat = adapter("mlm_head_embed", sel[None])
+            else:
+                mlm_feat = adapter("mlm_head_embed", last_text)
             head = MLMHead(
                 vocab_size=cfg.vocab_size, hidden_size=cfg.token_hidden_size,
                 dtype=dtype, name="mlm_head",

@@ -100,55 +100,70 @@ def chunked_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
     return total / jnp.maximum(count, 1)
 
 
-def gathered_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
-                      labels: jnp.ndarray, capacity_frac: float = 0.25,
-                      chunk: int = 2048) -> jnp.ndarray:
-    """MLM cross entropy decoding ONLY the labeled rows.
+def mlm_gather_plan(labels: jnp.ndarray, capacity_frac: float = 0.25,
+                    chunk: int = 2048):
+    """Static-capacity gather plan for the labeled MLM rows.
 
     With word_mask_rate 0.15 over ~20-token captions padded to 128, only
-    ~2-3% of the B*T rows carry a label, yet the full decode pays the
+    ~2-3% of the B*T rows carry a label, yet a full decode pays the
     [B*T, 30522] GEMM (plus its remat recompute and two grad GEMMs) for all
-    of them — the dominant non-backbone cost of the training step.  Gather
-    the labeled rows to a STATIC capacity (XLA needs static shapes) and
-    decode only those.
+    of them.  This computes, for a [B, T] (or [B*T]) label tensor, a gather
+    of the labeled rows to a STATIC capacity (XLA needs static shapes).
+    Returns ``(idx, sel_labels, chunk)`` — gather row i of the flattened
+    hidden stream via ``jnp.take(rows, idx, axis=0)`` and score it against
+    ``sel_labels`` — or ``None`` when capacity would not shrink the stream.
 
-    capacity = ceil(B*T * capacity_frac) rounded up to a chunk multiple.
-    Exact whenever the labeled count <= capacity: a Binomial(B*T, rate)
-    count exceeds 0.25*B*T only with astronomically small probability for
-    any rate <= 0.2, so 0.25 is a mathematically safe default; recipe
-    configs with short captions can lower it for more speed.  Overflow
-    rows (if ever) are dropped from the mean, never mis-labeled.
+    capacity = ceil(B*T * capacity_frac) rounded to 512 rows, with the
+    decode chunk shrunk to a divisor so the vocab GEMM pays for ~capacity
+    rows, not roundup(capacity, chunk).  Exact whenever the labeled count
+    <= capacity: a Binomial(B*T, rate) count exceeds 0.25*B*T only with
+    astronomically small probability for any rate <= 0.2, so 0.25 is a
+    mathematically safe default.  Overflow rows (if ever) are dropped from
+    the mean, never mis-labeled.
+
+    The labeled rows are partitioned to the front WITHOUT a sort (an
+    argsort over B*T rows lowers to a bitonic sort network on TPU; a
+    prefix-sum + scatter is linear).  Unfilled capacity slots point at
+    DISTINCT real rows (their own slot index) rather than one shared dummy
+    row, so the gather's VJP scatter-add has at most 2-way collisions — the
+    all-slots-into-one-row layout is the same fully-colliding-scatter
+    pathology the type-embedding fix removed (CLAUDE.md).  Those slots'
+    labels are forced to the ignore index, so they contribute exactly zero
+    loss and zero gradient to the rows they alias.
     """
     import math
 
-    h = hidden.shape[-1]
-    rows = hidden.reshape(-1, h)
     labs = labels.reshape(-1)
-    n = rows.shape[0]
-    # round capacity to 512 rows and shrink the chunk to a divisor so the
-    # decode pays for ~capacity rows, not roundup(capacity, chunk) — the
-    # old chunk-rounding added 28% dead vocab-GEMM rows at the reference
-    # recipe (4800 -> 6144)
+    n = labs.shape[0]
     capacity = max(512, -(-int(n * capacity_frac) // 512) * 512)
     if capacity >= n:
-        return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
+        return None
     chunk = math.gcd(capacity, max(512, chunk // 512 * 512))
     valid = labs != MLM_IGNORE_INDEX
-    # Stable partition of labeled rows to the front WITHOUT a sort: an
-    # argsort over B*T rows lowers to a bitonic sort network on TPU, while
-    # a prefix-sum + scatter is linear.  dest[i] = rank of row i among
-    # labeled rows (overflow and unlabeled rows land in the discard slot);
-    # unfilled capacity slots keep index n -> the appended dummy row whose
-    # label is the ignore index, so the mean is exact.
     pos = jnp.cumsum(valid) - 1
     dest = jnp.where(valid & (pos < capacity), pos, capacity)
-    idx = jnp.full((capacity + 1,), n, jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
-    rows_ext = jnp.concatenate([rows, jnp.zeros((1, h), rows.dtype)], axis=0)
-    labs_ext = jnp.concatenate(
-        [labs, jnp.full((1,), MLM_IGNORE_INDEX, labs.dtype)], axis=0)
-    sel_rows = jnp.take(rows_ext, idx, axis=0)
-    sel_labs = jnp.take(labs_ext, idx, axis=0)
+    base = jnp.concatenate([jnp.arange(capacity, dtype=jnp.int32),
+                            jnp.zeros((1,), jnp.int32)])
+    idx = base.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
+    filled = jnp.arange(capacity) < jnp.minimum(valid.sum(), capacity)
+    sel_labs = jnp.where(filled, jnp.take(labs, idx),
+                         jnp.asarray(MLM_IGNORE_INDEX, labs.dtype))
+    return idx, sel_labs, chunk
+
+
+def gathered_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
+                      labels: jnp.ndarray, capacity_frac: float = 0.25,
+                      chunk: int = 2048) -> jnp.ndarray:
+    """MLM cross entropy decoding ONLY the labeled rows (see
+    mlm_gather_plan).  Used when the model emits the full [B, T, H] hidden
+    stream; the faster path gathers BEFORE the head transform inside the
+    model (PVLT.__call__'s mlm_row_idx) and calls chunked_mlm_loss directly."""
+    plan = mlm_gather_plan(labels, capacity_frac=capacity_frac, chunk=chunk)
+    if plan is None:
+        return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
+    idx, sel_labs, chunk = plan
+    rows = hidden.reshape(-1, hidden.shape[-1])
+    sel_rows = jnp.take(rows, idx, axis=0)
     return chunked_mlm_loss(sel_rows[None], table, bias, sel_labs[None], chunk=chunk)
 
 

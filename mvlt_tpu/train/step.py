@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mvlt_tpu.config import ModelConfig
-from mvlt_tpu.train.losses import compute_losses
+from mvlt_tpu.train.losses import compute_losses, mlm_gather_plan
 from mvlt_tpu.train.state import TrainState
 
 
@@ -98,6 +98,27 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
         else:
             images_in = batch["images"].astype(jnp.float32)
 
+        # Pre-transform MLM row gather: compute the static-capacity gather
+        # plan from the labels and hand the row indices to the model, so the
+        # MLM head adapter + BertHeadTransform run only on the ~capacity
+        # labeled rows (losses.mlm_gather_plan).  The loss then scores the
+        # already-gathered [1, capacity, H] hidden against the plan's labels
+        # (capacity_frac=1.0 → plain chunked decode, no second gather).
+        apply_kwargs = {}
+        loss_batch = batch
+        mlm_chunk = max(cfg.mlm_loss_chunk, 1)
+        mlm_frac = cfg.mlm_capacity_frac
+        if (cfg.loss_type.mlm and train_mode and cfg.mlm_loss_chunk > 0
+                and cfg.mlm_capacity_frac < 1.0):
+            plan = mlm_gather_plan(batch["mlm_labels"],
+                                   capacity_frac=cfg.mlm_capacity_frac,
+                                   chunk=mlm_chunk)
+            if plan is not None:
+                idx, sel_labs, mlm_chunk = plan
+                apply_kwargs["mlm_row_idx"] = idx
+                loss_batch = {**batch, "mlm_labels": sel_labs[None]}
+                mlm_frac = 1.0
+
         def loss_fn(params):
             variables = {"params": params}
             has_bn = bool(batch_stats)
@@ -106,17 +127,17 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
             out = model.apply(
                 variables, images_in, batch["input_ids"], train=train_mode,
                 mutable=["batch_stats"] if has_bn else False,
-                rngs={"dropout": mb_rng},
+                rngs={"dropout": mb_rng}, **apply_kwargs,
             )
             if has_bn:
                 out, new_model_state = out
                 new_batch_stats = new_model_state["batch_stats"]
             else:
                 new_batch_stats = batch_stats
-            losses = compute_losses(out, batch, cfg.num_super_classes,
+            losses = compute_losses(out, loss_batch, cfg.num_super_classes,
                                     cfg.num_sub_classes,
-                                    mlm_chunk=max(cfg.mlm_loss_chunk, 1),
-                                    mlm_capacity_frac=cfg.mlm_capacity_frac)
+                                    mlm_chunk=mlm_chunk,
+                                    mlm_capacity_frac=mlm_frac)
             return losses["total_loss"], (losses, new_batch_stats)
 
         grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(params)

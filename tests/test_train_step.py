@@ -235,6 +235,40 @@ def test_gathered_mlm_loss_matches_dense(rng):
     assert float(jnp.abs(jnp.where((labels == -1)[..., None], g_got, 0.0)).max()) == 0.0
 
 
+def test_pretransform_mlm_gather_matches_full(setup):
+    """The pre-transform MLM row gather (mlm_row_idx into the model, so the
+    head adapter + BertHeadTransform run only on capacity rows) must produce
+    the same loss and the same updated parameters as the full-stream decode.
+    Needs B*T > 512 for the static capacity to actually shrink the stream."""
+    b = 40  # n = 40*16 = 640 rows > 512 -> capacity 512 active
+    batch = make_batch(np.random.default_rng(41), b=b)
+    rng = jax.random.PRNGKey(43)
+
+    cfg_g = micro_cfg(mlm_capacity_frac=0.25)
+    cfg_f = micro_cfg(mlm_capacity_frac=1.0)
+    model = create_model(cfg_g)
+    tx = make_optimizer(OptimConfig(epochs=2, warmup_epochs=0, batch_size=b), b, 10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((b, IMG, IMG, 3), jnp.float32),
+                               jnp.zeros((b, T), jnp.int32))
+
+    # sanity: the plan is actually active at these shapes
+    from mvlt_tpu.train.losses import mlm_gather_plan
+    assert mlm_gather_plan(jnp.asarray(batch["mlm_labels"])) is not None
+
+    s_g, l_g = make_train_step(model, cfg_g, donate=False)(state, batch, rng)
+    s_f, l_f = make_train_step(create_model(cfg_f), cfg_f, donate=False)(state, batch, rng)
+
+    np.testing.assert_allclose(float(l_g["loss_mlm"]), float(l_f["loss_mlm"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(l_g["total_loss"]), float(l_f["total_loss"]),
+                               rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(s_g.params),
+                    jax.tree_util.tree_leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=1e-6)
+
+
 def test_gathered_mlm_loss_capacity_one_falls_back(rng):
     """capacity_frac >= 1 routes to the exact full decode."""
     import jax.numpy as jnp
