@@ -144,10 +144,15 @@ def main() -> None:
 
     backend_or_die()
     on_tpu = jax.default_backend() not in ("cpu",)
+    import os as _os
     cfg = ModelConfig(
         loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
         compute_dtype="bfloat16" if on_tpu else "float32",
         use_pallas_attention=on_tpu,
+        # A/B knob for the packed stage-1 stream (ops/block_packed.py);
+        # unset -> the shipped ModelConfig default
+        **({"pack_stage1": _os.environ["MVLT_PACK_STAGE1"] == "1"}
+           if "MVLT_PACK_STAGE1" in _os.environ else {}),
     )
     model = create_model(cfg)
 

@@ -96,6 +96,15 @@ class ModelConfig:
     #           ms/batch @ B=101 vs 'none'; tools/bench_scan_sweep.py).
     #           Inference-only — training always uses the modular kernels.
     block_attn_kernel: str = "full"
+    # pack2 serving layout for dim=64 stages (stage 1 of every shipped v1
+    # config): ride the whole-block path on a [B, N/2, 128] stream with two
+    # tokens per row instead of lane-padding 64->128 — half the stream HBM
+    # bytes and half the per-element VPU work (ops/block_packed.py; the
+    # packed LN runs its stats as a block-diagonal matmul on the otherwise
+    # idle MXU).  Only takes effect on the 'full' inference path with
+    # heads==1 and even sr/w/t; everything else falls back unchanged.
+    # Default pending on-device measurement (tools/tpu_pack2_check.py).
+    pack_stage1: bool = False
     # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
     # folds into the kernel as a per-sample row scale.  Default on by
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the

@@ -279,6 +279,7 @@ class Block(nn.Module):
     fused_attn_train: bool = False  # ModelConfig.fused_attn_train
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
+    pack2: bool = False        # ModelConfig.pack_stage1: stream packed 2 tokens/row
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -467,6 +468,48 @@ class Block(nn.Module):
         mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (x.shape[0],))
         return mask.astype(jnp.float32) / keep
 
+    def _sr_kv_p2(self, x: jnp.ndarray, hw: tuple, t_num: int):
+        """_sr_kv on a PACKED [B, (h*w+t)/2, 128] stream
+        (ops/block_packed.py): same fused K/V path, packed LN1 + packed
+        space-to-depth staging; K/V rows come back in the standard layout
+        (text tail even-tokens-first — softmax-invariant)."""
+        from mvlt_tpu.ops.block_packed import fused_ln_sr_kv_p2
+
+        p = self.variables["params"]
+        ap = p["attn"]
+        return fused_ln_sr_kv_p2(
+            x, p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["sr"]["kernel"], ap["sr"]["bias"],
+            ap["norm"]["scale"], ap["norm"]["bias"],
+            ap["kv"]["kernel"], ap["kv"].get("bias"),
+            dim=self.dim, hw=hw, t=t_num, sr=self.sr_ratio,
+            heads=self.num_heads, eps1=self.ln_eps, eps_sr=self.sr_ln_eps,
+        )
+
+    def _fused_full_block_p2(self, x: jnp.ndarray, hw: tuple, t_num: int):
+        """The whole block on the packed stage-1 stream: packed SR-KV front
+        end + packed whole-block megakernel (ops/block_packed.py) — half the
+        stream HBM bytes and half the per-element VPU work of the
+        lane-padded path at dim=64."""
+        from mvlt_tpu.ops.block_packed import fused_block_p2
+
+        p = self.variables["params"]
+        c = self.dim
+        k, v, kv_len = self._sr_kv_p2(x, hw, t_num)
+        ap = p["attn"]
+        mp = p["mlp"]
+        return fused_block_p2(
+            x, k, v,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            scale=(c // self.num_heads) ** -0.5, eps1=self.ln_eps,
+            eps2=self.ln_eps, dim=c, kv_len=kv_len, gelu=self.kernel_gelu,
+        )
+
     def _sr_kv(self, x: jnp.ndarray, hw: tuple):
         """K/V for the whole-block kernel with the ENTIRE K/V path fused into
         one Pallas kernel (mvlt_tpu/ops/sr_kv.py): LN1 over the joint stream,
@@ -551,6 +594,10 @@ class Block(nn.Module):
             is_initializing=self.is_initializing(),
         )
         if fused_env_ok and self.block_attn == "full":
+            if self.pack2:
+                # packed stage-1 stream: [B, (h*w+t)/2, 128], two 64-dim
+                # tokens per row (PVLT reshapes once per stage)
+                return self._fused_full_block_p2(x, hw, t_num)
             # whole-block megakernel (possibly on a lane-padded stream —
             # PVLT pads once per stage when this path is active)
             return self._fused_full_block(x, hw, kv_normed=kv_normed,
@@ -807,7 +854,19 @@ class PVLT(nn.Module):
 
                 x = sequence_sharding_constraint(x, self.sp_mesh)
             d_pad = -(-dim // 128) * 128
-            if full_kernel and d_pad != dim:
+            # pack2 (ModelConfig.pack_stage1): at dim=64 stages, instead of
+            # lane-padding 64->128 (2x HBM/VPU on the whole stream), pack two
+            # tokens per 128-lane row — a free contiguous reshape; the
+            # packed kernels (ops/block_packed.py) need heads==1 and even
+            # sr/w/t so pairs never straddle an s2d group or the text
+            # boundary (all true at every shipped v1 stage 1)
+            pack2 = (full_kernel and cfg.pack_stage1 and dim * 2 == 128
+                     and cfg.num_heads[i] == 1 and cfg.sr_ratios[i] % 2 == 0
+                     and cfg.sr_ratios[i] > 1 and w % 2 == 0
+                     and (h * w) % 2 == 0 and t_num >= 2 and t_num % 2 == 0)
+            if pack2:
+                x = x.reshape(b, (h * w + t_num) // 2, 2 * dim)
+            elif full_kernel and d_pad != dim:
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - dim)))
 
             block_cls = Block
@@ -834,6 +893,7 @@ class PVLT(nn.Module):
                     fused_attn_train=cfg.fused_attn_train,
                     kernel_gelu=cfg.kernel_gelu,
                     dwconv_kernel=cfg.dwconv_mlp_kernel,
+                    pack2=pack2,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
@@ -846,6 +906,8 @@ class PVLT(nn.Module):
                 x = mk_block(j)(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
+            if pack2:  # un-pack: free contiguous reshape back to [B, N, dim]
+                x = x.reshape(b, h * w + t_num, dim)
             # split back (and drop pad lanes, fused into the same copy)
             x, y = x[:, : h * w, :dim], x[:, h * w :, :dim]
             x = x.reshape(b, h, w, dim)

@@ -97,6 +97,32 @@ def one_pass_ln(xf: jax.Array, dim: int, eps: float,
     return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
+def packed_ln(xf: jax.Array, a_half: jax.Array, eps: float,
+              gamma2: jax.Array, beta2: jax.Array) -> jax.Array:
+    """fp32 LayerNorm on a PACKED [rows, 128] tile holding two independent
+    64-lane tokens per row (ops/block_packed.py).  Per-half mean/var are
+    computed by one matmul each against ``a_half`` — the [128, 128]
+    block-diagonal averaging matrix blockdiag(J/64, J/64) — so the stats land
+    broadcast in the right lane half straight off the (otherwise idle) MXU
+    instead of via lane-masked VPU reductions.  gamma2/beta2 are the LN
+    affine params duplicated across both halves."""
+    mean = jax.lax.dot_general(
+        xf, a_half, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sq = jax.lax.dot_general(
+        xf * xf, a_half, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    var = sq - mean * mean
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma2 + beta2
+
+
+def half_average_matrix(dim: int = 64, d_pad: int = 128) -> jax.Array:
+    """blockdiag(J/dim, J/dim) in fp32 — packed_ln's stats operand."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (d_pad, d_pad), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (d_pad, d_pad), 1)
+    return jnp.where((i // dim) == (j // dim), 1.0 / dim, 0.0).astype(jnp.float32)
+
+
 def softmax_av(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
                scale: float, kv_len: int, out_dtype) -> jax.Array:
     """softmax(q k^T * scale) @ v for one head, VPU-lean form:
