@@ -137,6 +137,86 @@ def flops_per_pair(cfg, input_size: int) -> dict:
     return {"backbone": backbone, "mlm": float(mlm), "t2i": t2i}
 
 
+TRAIN_BATCH = 150      # the reference pre-train recipe's per-device batch
+                       # (scripts_dws/configs/dws_mvlt_exp21.py); measured
+                       # optimal on v5e too (tools/probes/bench_train_bsweep)
+TRAIN_NS = (4, 12)     # pipelined-dispatch slope endpoints (CLAUDE.md: the
+                       # divide-by-N form carries ~4 ms of fixed tunnel RPC)
+
+
+def measure_train(on_tpu: bool, log) -> dict:
+    """Time the canonical pre-training step (full mlm+itm+t2i objective,
+    B=150, donate=True, pipelined dispatch — the engine's real pattern) and
+    derive a train-side MFU.
+
+    FLOP model: fwd+bwd matmul/conv cost ~ 3x forward (one fwd, one dLoss/dx
+    chain, one weight-grad GEMM per layer); MLM head work scales with the
+    gathered label capacity (ModelConfig.mlm_capacity_frac) rather than the
+    full B*T decode.  Elementwise/optimizer work excluded, matching the
+    serving-side derivation above.
+    """
+    import jax.random as jrandom
+
+    from mvlt_tpu.config import LossType, ModelConfig, OptimConfig
+    from mvlt_tpu.models import create_model
+    from mvlt_tpu.train.schedule import make_optimizer
+    from mvlt_tpu.train.state import create_train_state
+    from mvlt_tpu.train.step import make_train_step
+
+    B = TRAIN_BATCH
+    cfg = ModelConfig(
+        loss_type=LossType(itm=True, mlm=True, t2i=True, cls=False),
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_pallas_attention=on_tpu, drop_path_rate=0.1)
+    model = create_model(cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
+    masked = jnp.asarray(rng.random((B, 256, 256, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 128)), jnp.int32)
+    batch = dict(
+        images=imgs, masked_images=masked, input_ids=ids,
+        mlm_labels=jnp.asarray(
+            np.where(rng.random((B, 128)) < 0.15,
+                     rng.integers(0, cfg.vocab_size, (B, 128)), -1), jnp.int32),
+        itm_labels=jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32))
+    tx = make_optimizer(OptimConfig(epochs=150, batch_size=B), B, 1000)
+    state = create_train_state(model, tx, jrandom.PRNGKey(0), imgs[:2], ids[:2])
+    step = make_train_step(model, cfg, donate=True)
+    key = jrandom.PRNGKey(1)
+
+    t = time.perf_counter()
+    # strict-sync warm step first: pipelined dispatch masks OOMs (CLAUDE.md)
+    state, losses = step(state, batch, key)
+    warm_loss = float(losses["total_loss"])
+    log(f"train warm: {time.perf_counter() - t:.1f}s loss {warm_loss:.4f}")
+    state, losses = step(state, batch, key)
+    np.asarray(losses["total_loss"])
+
+    ts = {}
+    for n in TRAIN_NS:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, losses = step(state, batch, key)
+            np.asarray(losses["total_loss"])  # force (lazy backend)
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    dt = (ts[TRAIN_NS[1]] - ts[TRAIN_NS[0]]) / (TRAIN_NS[1] - TRAIN_NS[0])
+
+    comp = flops_per_pair(cfg, 256)
+    train_flops = 3.0 * (comp["backbone"] + comp["t2i"]
+                         + comp["mlm"] * cfg.mlm_capacity_frac)
+    pairs = B / dt
+    return {
+        "train_pairs_per_sec": round(pairs, 1),
+        "train_ms_per_step": round(dt * 1e3, 2),
+        "train_batch": B,
+        "train_flops_per_pair_gflops": round(train_flops / 1e9, 2),
+        "our_train_mfu_v5e": round(pairs * train_flops / V5E_PEAK_BF16, 4),
+    }
+
+
 def main() -> None:
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
@@ -155,6 +235,11 @@ def main() -> None:
            if "MVLT_PACK_STAGE1" in _os.environ else {}),
     )
     model = create_model(cfg)
+    # record the effective A/B knob + its source so two runs from different
+    # shells can't silently measure different configs (ADVICE r3)
+    print(f"[bench] pack_stage1={cfg.pack_stage1} "
+          f"(source={'env MVLT_PACK_STAGE1' if 'MVLT_PACK_STAGE1' in _os.environ else 'ModelConfig default'})",
+          file=__import__('sys').stderr, flush=True)
 
     rng = np.random.default_rng(0)
     input_size = 256  # runtime resolution (DataConfig.input_size); the model
@@ -241,6 +326,15 @@ def main() -> None:
     our_mfu = pairs_per_sec * our_flops / V5E_PEAK_BF16
     ref_itm_only = A100_PEAK_FP16 * MFU_REF_BACKBONE / comp["backbone"]
 
+    # --- training-path metric (VERDICT r3 #3: a train regression must be
+    # visible in the driver artifact, not just in tools/ prose) -----------
+    train = {}
+    if os.environ.get("MVLT_BENCH_SKIP_TRAIN", "0") != "1":
+        # drop the ~4.8 GB of staged serving batches before the train step
+        # allocates its B=150 activation set (16 GB HBM on v5e)
+        del images, ids, serve_lo, serve_hi
+        train = measure_train(on_tpu, log)
+
     print(json.dumps({
         "metric": "fashion_gen_itm_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
@@ -259,6 +353,7 @@ def main() -> None:
         "vs_baseline_itm_only": round(pairs_per_sec / ref_itm_only, 3),
         "our_flops_per_pair_gflops": round(our_flops / 1e9, 2),
         "our_mfu_v5e": round(our_mfu, 4),
+        **train,
     }))
 
 

@@ -196,7 +196,7 @@ def main(argv=None) -> None:
         if is_main:
             print(f"retrieval {direction.upper()}: "
                   + " ".join(f"acc@{k}: {results[f'acc@{k}']}" for k in (1, 5, 10)), flush=True)
-        return
+        return results
 
     if args.eval_recognition:
         from mvlt_tpu.data.fashion_gen import FashionGenRecognition
@@ -213,12 +213,11 @@ def main(argv=None) -> None:
         scorer = make_cls_scorer(model, variables)
         # reference protocol batches recognition at 500 (main_vl.py:374-385)
         rec_batch = 500 if jax.default_backend() != "cpu" else 64
-        evaluate_recognition(
+        return evaluate_recognition(
             scorer, _simple_loader(dataset, batch=rec_batch),
             num_super=cfg.model.num_super_classes, num_sub=cfg.model.num_sub_classes,
             artifact_dir=os.path.join(cfg.output_dir or ".", "visualization"),
             mesh=mesh, is_main=is_main)
-        return
 
     # --- training -----------------------------------------------------------
     from mvlt_tpu.data.fashion_gen import build_dataset

@@ -103,8 +103,10 @@ class ModelConfig:
     # packed LN runs its stats as a block-diagonal matmul on the otherwise
     # idle MXU).  Only takes effect on the 'full' inference path with
     # heads==1 and even sr/w/t; everything else falls back unchanged.
-    # Default pending on-device measurement (tools/tpu_pack2_check.py).
-    pack_stage1: bool = False
+    # Default ON by measurement (tools/tpu_pack2_check.py, 2026-08-19 v5e):
+    # 11.34 vs 13.25 ms/batch @ B=101 (8903 vs 7625 pairs/s), itm-logit
+    # rel-err 7.7e-3 (bf16 tolerance) vs the unpacked 'full' path.
+    pack_stage1: bool = True
     # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
     # folds into the kernel as a per-sample row scale.  Default on by
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the

@@ -84,6 +84,17 @@ _MAPPING: Tuple[Tuple[str, str, str], ...] = (
     (r"block(\d)\.(\d+)\.mlp\.fc1\.bias", r"block\1_\2/mlp/fc1/bias", "raw"),
     (r"block(\d)\.(\d+)\.mlp\.fc2\.weight", r"block\1_\2/mlp/fc2/kernel", "linear"),
     (r"block(\d)\.(\d+)\.mlp\.fc2\.bias", r"block\1_\2/mlp/fc2/bias", "raw"),
+    # PVT-v2 depthwise-conv MLP (official pvt_v2.py naming: Mlp.dwconv is a
+    # DWConv module wrapping nn.Conv2d, hence the doubled '.dwconv.').  The
+    # generic conv transform handles the depthwise [O,1,kh,kw] layout.
+    (r"block(\d)\.(\d+)\.mlp\.dwconv\.dwconv\.weight",
+     r"block\1_\2/mlp/dwconv/kernel", "conv"),
+    (r"block(\d)\.(\d+)\.mlp\.dwconv\.dwconv\.bias",
+     r"block\1_\2/mlp/dwconv/bias", "raw"),
+    # Swin variant window attention: relative-position bias table (official
+    # Swin naming); q/kv/proj reuse the shared attn rules above.
+    (r"block(\d)\.(\d+)\.attn\.relative_position_bias_table",
+     r"block\1_\2/attn/rel_pos_bias", "raw"),
     # BERT text embeddings (HF naming)
     (r"text_embeddings\.word_embeddings\.weight",
      r"text_embeddings/word_embeddings/embedding", "raw"),
@@ -242,10 +253,16 @@ def _untransform(kind: str, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def export_state_dict(params, batch_stats=None) -> Dict[str, np.ndarray]:
+def export_state_dict(params, batch_stats=None, *,
+                      strict: bool = True) -> Dict[str, np.ndarray]:
     """Inverse converter: flax trees -> reference-named torch-style state
     dict (numpy values).  Enables exporting trained weights back to the
-    reference ecosystem and round-trip-tests the mapping."""
+    reference ecosystem and round-trip-tests the mapping.
+
+    strict (default): raise if any parameter has no reference name — an
+    incomplete export must fail loudly, not ship a state dict missing
+    tensors.  strict=False keeps the old behavior of emitting the flax path
+    suffixed ':UNMAPPED' for inspection."""
     flat = _flatten(params)
     if batch_stats:
         flat.update(_flatten(batch_stats))
@@ -271,6 +288,14 @@ def export_state_dict(params, batch_stats=None) -> Dict[str, np.ndarray]:
             break
         if not matched:
             out["/".join(path) + ":UNMAPPED"] = arr
+    if strict:
+        unmapped = sorted(k[:-len(":UNMAPPED")] for k in out
+                          if k.endswith(":UNMAPPED"))
+        if unmapped:
+            raise ValueError(
+                f"export_state_dict: {len(unmapped)} parameters have no "
+                f"reference name (extend _MAPPING or pass strict=False to "
+                f"inspect): {unmapped[:10]}")
     return out
 
 

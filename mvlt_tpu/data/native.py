@@ -47,13 +47,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
+        import logging
+
         if not os.path.exists(_LIB_PATH) and not _build():
             _lib_failed = True
+            logging.getLogger(__name__).warning(
+                "libmvlt_native.so missing and g++ build failed — native "
+                "tokenizer/image kernels disabled (Python fallback)")
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+        except OSError as e:
             _lib_failed = True
+            logging.getLogger(__name__).warning(
+                "libmvlt_native.so failed to load (%s) — native "
+                "tokenizer/image kernels disabled (Python fallback)", e)
             return None
         lib.mvlt_tokenizer_create.restype = ctypes.c_void_p
         lib.mvlt_tokenizer_create.argtypes = [ctypes.c_char_p]

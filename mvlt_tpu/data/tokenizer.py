@@ -198,12 +198,20 @@ def make_tokenizer(vocab_file: str):
     """Prefer the native C++ tokenizer (exact-parity with per-row Python
     fallback); return the pure-Python tokenizer when the library is
     unavailable."""
+    reason = "native_available=False (libmvlt_native.so not found/loadable)"
     try:
         from mvlt_tpu.data.native import NativeTokenizer
 
         t = NativeTokenizer(vocab_file)
         if t.native_available:
             return t
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — any native failure falls back
+        reason = f"{type(e).__name__}: {e}"
+    # one warning, not silence: the fallback costs ~16% host tokenization
+    # throughput, and a broken native build should be visible (ADVICE r3)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "native tokenizer unavailable (%s); using the pure-Python "
+        "WordPiece fallback", reason)
     return WordPieceTokenizer(vocab_file)

@@ -194,14 +194,22 @@ class JointSRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        if self.attn_drop:
-            # attention-prob dropout is not implemented on either path (the
-            # Pallas kernel fuses the softmax; shipped configs never set it)
-            # — error rather than silently ignore a nonzero config.
-            raise NotImplementedError(
-                f"attn_drop={self.attn_drop} is not supported; the reference "
-                f"configs never enable attention-prob dropout")
-        out = multi_head_attention(q, k, v, scale=scale, use_pallas=self.use_pallas)
+        if self.attn_drop and not deterministic:
+            # attention-prob dropout (libs/pvlt.py:88, 96): the probs must be
+            # materialized, so this runs the explicit XLA einsum path (fp32
+            # softmax like _attention_xla).  The fused Pallas kernels never
+            # see a non-deterministic pass with attn_drop > 0 — Block's
+            # dispatch predicates all require `not attn_drop` — and at eval
+            # dropout is the identity, so every other path stays unchanged.
+            logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(rate=self.attn_drop)(probs, deterministic=False)
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).astype(q.dtype)
+        else:
+            out = multi_head_attention(q, k, v, scale=scale,
+                                       use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=_trunc02, name="proj")(out)
         if self.proj_drop:
@@ -860,10 +868,18 @@ class PVLT(nn.Module):
             # packed kernels (ops/block_packed.py) need heads==1 and even
             # sr/w/t so pairs never straddle an s2d group or the text
             # boundary (all true at every shipped v1 stage 1)
+            # h/w divisibility by sr is required by the packed kernel's s2d
+            # reshape (same assumption as the unpacked SR-KV path — made
+            # explicit here so a non-divisible input falls back instead of
+            # dying in a generic reshape trace error); sequence sharding is
+            # excluded because the pack reshape halves the (sharded)
+            # sequence axis mid-stage — untested under sp until measured.
             pack2 = (full_kernel and cfg.pack_stage1 and dim * 2 == 128
+                     and self.sp_mesh is None
                      and cfg.num_heads[i] == 1 and cfg.sr_ratios[i] % 2 == 0
                      and cfg.sr_ratios[i] > 1 and w % 2 == 0
-                     and (h * w) % 2 == 0 and t_num >= 2 and t_num % 2 == 0)
+                     and h % cfg.sr_ratios[i] == 0 and w % cfg.sr_ratios[i] == 0
+                     and t_num >= 2 and t_num % 2 == 0)
             if pack2:
                 x = x.reshape(b, (h * w + t_num) // 2, 2 * dim)
             elif full_kernel and d_pad != dim:
@@ -1005,6 +1021,27 @@ MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
 }
 
 
+def validate_model_config(cfg: ModelConfig) -> None:
+    """Reject unsupported knob combinations at construction time instead of
+    letting them surface as trace-time errors (or silent no-ops) inside a
+    jit.  Attention-prob dropout (libs/pvlt.py:88) is implemented on the
+    v1/v2 XLA path (JointSRAttention); the Swin variant's window attention
+    does not materialize probs outside its kernel, so it rejects it."""
+    if cfg.attn_drop_rate and cfg.variant == "swin":
+        raise NotImplementedError(
+            f"attn_drop_rate={cfg.attn_drop_rate} is not supported by the "
+            f"swin variant's window-attention path; use variant v1/v2 or "
+            f"attn_drop_rate=0")
+    if cfg.block_attn_kernel not in ("none", "mega", "auto", "full"):
+        raise ValueError(
+            f"block_attn_kernel={cfg.block_attn_kernel!r} not in "
+            f"('none', 'mega', 'auto', 'full')")
+    if cfg.kernel_gelu not in ("tanh", "erf"):
+        raise ValueError(f"kernel_gelu={cfg.kernel_gelu!r} not in ('tanh', 'erf')")
+    if not 0.0 < cfg.mlm_capacity_frac <= 1.0:
+        raise ValueError(f"mlm_capacity_frac={cfg.mlm_capacity_frac} must be in (0, 1]")
+
+
 def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None,
                  sp_mesh: Optional[Any] = None) -> PVLT:
     """Instantiate a PVLT from a ModelConfig, applying the registry preset
@@ -1012,6 +1049,7 @@ def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None,
     libs/pvlt.py:416-483)."""
     if cfg.name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {cfg.name!r}; registry: {sorted(MODEL_REGISTRY)}")
+    validate_model_config(cfg)
     preset = MODEL_REGISTRY[cfg.name]
     updates = {k: v for k, v in preset.items() if getattr(cfg, k) != v}
     if updates:

@@ -175,9 +175,14 @@ def fused_block_p2(x: jax.Array, k: jax.Array, v: jax.Array,
     # Tile sizing under the scoped-VMEM budget (block_fused.py policy).
     # Per packed row: TWO fp32 logit rows (m_pad each), q/stream fp32+bf16
     # live set on 128 lanes, fp32+bf16 hidden on 2*hid_pad lanes.
-    fixed = (4 * m_pad * 128 + 2 * 128 * 128 + 2 * 128 * 2 * hid_pad) * 2 \
+    # Element size from the actual stream dtype (serving runs bf16, but a
+    # fp32 stream must not undercount live VMEM by 2x — the overflow mode is
+    # an opaque tpu_compile_helper HTTP 500).  The fp32 logit rows and the
+    # fp32 halves of the live set stay 4-byte regardless.
+    esz = x.dtype.itemsize
+    fixed = (4 * m_pad * 128 + 2 * 128 * 128 + 2 * 128 * 2 * hid_pad) * esz \
         + 128 * 128 * 4
-    per_row = 2 * m_pad * 4 + 128 * 30 + 2 * hid_pad * 6
+    per_row = 2 * m_pad * 4 + 128 * (26 + 2 * esz) + 2 * hid_pad * (4 + esz)
     cap = max(64, (_VMEM_BUDGET - fixed) // per_row // 16 * 16)
     num_tiles = max(1, -(-n2 // cap))
     tile = 0

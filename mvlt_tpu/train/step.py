@@ -83,18 +83,26 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
         every microbatch of a step shares it)."""
         if use_masked_input:
             images = batch["images"].astype(jnp.float32)
-            if device_masks:
-                from mvlt_tpu.data.masks import device_apply_mask, device_grid_masks
 
-                mask_rng = jax.random.fold_in(mb_rng, 1)
-                masks = device_grid_masks(
-                    mask_rng, images.shape[0], images.shape[1],
-                    mask_ratio, mask_patch_size)
-                masked = device_apply_mask(images, masks)
-            else:
-                masked = batch["masked_images"].astype(jnp.float32)
+            def _masked_images():
+                # computed INSIDE the cond branch so even steps skip the
+                # mask generation / fill entirely
+                if device_masks:
+                    from mvlt_tpu.data.masks import (device_apply_mask,
+                                                     device_grid_masks)
+
+                    mask_rng = jax.random.fold_in(mb_rng, 1)
+                    masks = device_grid_masks(
+                        mask_rng, images.shape[0], images.shape[1],
+                        mask_ratio, mask_patch_size)
+                    return device_apply_mask(images, masks)
+                return batch["masked_images"].astype(jnp.float32)
+
             is_odd = (step % 2 == 1)
-            images_in = jnp.where(is_odd, masked, images)
+            # lax.cond, not jnp.where: a traced-scalar select still reads
+            # BOTH [B,256,256,3] fp32 tensors (2x ~118 MB @ B=150) and
+            # writes a third every step; cond runs only the taken branch.
+            images_in = jax.lax.cond(is_odd, _masked_images, lambda: images)
         else:
             images_in = batch["images"].astype(jnp.float32)
 

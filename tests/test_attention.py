@@ -197,3 +197,63 @@ def test_fused_attention_grad_multi_tile(rng):
     for g_got, g_want, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+class TestAttnProbDropout:
+    """Attention-prob dropout (libs/pvlt.py:88, 96): implemented on the XLA
+    einsum path; identity at eval; training applies a real mask + 1/keep
+    scale with grads flowing."""
+
+    def _model(self, rate):
+        from mvlt_tpu.config import LossType, ModelConfig
+        from mvlt_tpu.models import create_model
+
+        cfg = ModelConfig(
+            img_size=64, embed_dims=(8, 16, 32, 64), num_heads=(1, 2, 2, 4),
+            mlp_ratios=(2, 2, 2, 2), token_hidden_size=32, num_text_tokens=16,
+            vocab_size=64, max_position_embeddings=32, itg_channel=8,
+            compute_dtype="float32", use_pallas_attention=False,
+            drop_path_rate=0.0, attn_drop_rate=rate,
+            loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False))
+        return cfg, create_model(cfg)
+
+    def test_eval_identical_to_no_dropout(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg, m0 = self._model(0.0)
+        _, m1 = self._model(0.3)
+        imgs = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                           jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(1).integers(
+            0, cfg.vocab_size, (2, 16)), jnp.int32)
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), imgs, ids)
+        a = m0.apply(v, imgs, ids, train=False)["itm_logits"]
+        b = m1.apply(v, imgs, ids, train=False)["itm_logits"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_applies_dropout_with_finite_grads(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg, model = self._model(0.5)
+        imgs = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                           jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(1).integers(
+            0, cfg.vocab_size, (2, 16)), jnp.int32)
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, ids)
+
+        def loss(params, key):
+            out = model.apply({**v, "params": params}, imgs, ids, train=True,
+                              rngs={"dropout": key})
+            return out["itm_logits"].sum()
+
+        l1, g = jax.value_and_grad(loss)(v["params"], jax.random.PRNGKey(1))
+        l2 = loss(v["params"], jax.random.PRNGKey(2))
+        l0 = model.apply(v, imgs, ids, train=False)["itm_logits"].sum()
+        # different dropout keys -> different losses, and both differ from eval
+        assert l1 != l2 and l1 != l0
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))

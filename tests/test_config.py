@@ -59,3 +59,46 @@ def test_config_to_dict_roundtrippable():
     assert d["model"]["name"] == "pvlt_tiny"
     assert d["model"]["loss_type"] == {"itm": 1, "mlm": 1, "t2i": 1, "cls": 0}
     json.dumps(d)  # serializable for run-dir provenance
+
+
+class TestConfigValidation:
+    """Unsupported knobs reject at create_model time, not trace time
+    (VERDICT r3 next-round #7)."""
+
+    def _micro(self, **kw):
+        from mvlt_tpu.config import ModelConfig
+
+        base = dict(img_size=64, embed_dims=(8, 16, 32, 64),
+                    num_heads=(1, 2, 2, 4), mlp_ratios=(2, 2, 2, 2),
+                    token_hidden_size=32, num_text_tokens=16, vocab_size=64,
+                    max_position_embeddings=32, itg_channel=8,
+                    compute_dtype="float32", use_pallas_attention=False)
+        base.update(kw)
+        return ModelConfig(**base)
+
+    def test_swin_attn_drop_rejected_at_construction(self):
+        import pytest
+
+        from mvlt_tpu.models import create_model
+
+        with pytest.raises(NotImplementedError, match="attn_drop_rate"):
+            create_model(self._micro(name="pvlt_swin_tiny", variant="swin",
+                                     attn_drop_rate=0.1))
+
+    def test_v1_attn_drop_allowed(self):
+        # implemented on the XLA path (JointSRAttention) — must construct
+        from mvlt_tpu.models import create_model
+
+        create_model(self._micro(attn_drop_rate=0.1))
+
+    def test_bad_knob_values_rejected(self):
+        import pytest
+
+        from mvlt_tpu.models import create_model
+
+        with pytest.raises(ValueError, match="block_attn_kernel"):
+            create_model(self._micro(block_attn_kernel="warp"))
+        with pytest.raises(ValueError, match="kernel_gelu"):
+            create_model(self._micro(kernel_gelu="quick"))
+        with pytest.raises(ValueError, match="mlm_capacity_frac"):
+            create_model(self._micro(mlm_capacity_frac=0.0))

@@ -151,12 +151,14 @@ def test_registry_depths():
     assert model.cfg.depths == (3, 4, 6, 3)
 
 
-def test_attn_drop_raises():
-    """Nonzero attn_drop must error (unimplemented on both attention paths)
-    instead of silently no-opping (round-1 ADVICE low)."""
+def test_attn_drop_init_ok():
+    """attn_drop is implemented on the XLA path as of round 4 (prob-dropout
+    in JointSRAttention); a nonzero rate must construct and init cleanly.
+    The dropout semantics themselves are covered by
+    tests/test_attention.py::TestAttnProbDropout, and unsupported combos
+    (swin) reject at create_model time (tests/test_config.py)."""
     import jax
     import jax.numpy as jnp
-    import pytest
 
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
@@ -171,5 +173,5 @@ def test_attn_drop_raises():
     model = create_model(cfg)
     imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
     ids = jnp.zeros((1, 8), jnp.int32)
-    with pytest.raises(NotImplementedError):
-        model.init(jax.random.PRNGKey(0), imgs, ids)
+    v = model.init(jax.random.PRNGKey(0), imgs, ids)
+    assert v["params"] is not None
