@@ -174,9 +174,11 @@ class DataConfig:
     mask_patch_size: int = 16
     vocab_file: str = "preweights/bert-base-uncased-vocab.txt"
     repeated_aug: int = 3          # RASampler x3 repeat (samplers.py:8-59)
-    # use the C++ crop/resize kernel for training images (~16% faster host
-    # path; eval keeps the exact-PIL path for bit-parity with the reference)
-    use_native_image_ops: bool = False
+    # use the C++ crop/resize kernel for training images; eval keeps the
+    # exact-PIL path for bit-parity with the reference.  Default ON by
+    # measurement (tools/probes/bench_pipeline.py 2026-08-19: 73 -> 103
+    # items/s end-to-end on the 1-core host, +41%).
+    use_native_image_ops: bool = True
     num_workers: int = 4
     prefetch_depth: int = 2
     synthetic: bool = False        # synthetic data for benchmarking/tests

@@ -25,15 +25,25 @@ with tempfile.TemporaryDirectory() as root:
             pickle.dump({"img_name": f"p{i:05d}_img.png", "super_cls_id": 3,
                          "sub_cls_id": 7, "product_id": i,
                          "captions": "long sleeve shirt in midnight blue stretch cotton poplin with zip"}, f)
-    cfg = DataConfig(input_size=256, num_text_tokens=128,
-                     vocab_file="preweights/bert-base-uncased-vocab.txt")
-    ds = FashionGenPretrain(root, "train", cfg, itm_enabled=True)
-    from mvlt_tpu.data.native import NativeTokenizer
-    print("native tokenizer:", isinstance(ds.tokenizer, NativeTokenizer), flush=True)
-    dl = DataLoader(ds, SequentialSampler(n), batch_size=32, num_workers=8)
-    t0 = time.perf_counter()
-    count = 0
-    for b in dl:
-        count += b["images"].shape[0]
-    dt = time.perf_counter() - t0
-    print(f"pretrain pipeline: {count/dt:.0f} items/s ({count} items, {dt:.2f}s, 1 CPU core)", flush=True)
+    # A/B the C++ crop/resize kernel end-to-end (ADVICE/VERDICT r3: decide
+    # the DataConfig.use_native_image_ops train default by a number)
+    for native_img in (False, True):
+        cfg = DataConfig(input_size=256, num_text_tokens=128,
+                         vocab_file="preweights/bert-base-uncased-vocab.txt",
+                         use_native_image_ops=native_img)
+        ds = FashionGenPretrain(root, "train", cfg, itm_enabled=True)
+        from mvlt_tpu.data.native import NativeTokenizer
+        print(f"native tokenizer: {isinstance(ds.tokenizer, NativeTokenizer)} "
+              f"native image ops: {native_img}", flush=True)
+        dl = DataLoader(ds, SequentialSampler(n), batch_size=32, num_workers=8)
+        best = float("inf")
+        for _rep in range(2):   # second pass runs on warm page cache
+            t0 = time.perf_counter()
+            count = 0
+            for b in dl:
+                count += b["images"].shape[0]
+            best = min(best, time.perf_counter() - t0)
+            dl = DataLoader(ds, SequentialSampler(n), batch_size=32, num_workers=8)
+        print(f"pretrain pipeline (native_img={native_img}): "
+              f"{count/best:.0f} items/s ({count} items, {best:.2f}s, 1 CPU core)",
+              flush=True)
