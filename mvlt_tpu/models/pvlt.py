@@ -56,6 +56,19 @@ def fused_block_env_ok(*, use_pallas: bool, variant: str, linear_sr: bool,
             and not is_initializing and jax.default_backend() == "tpu")
 
 
+def v2_full_block_env_ok(*, use_pallas: bool, variant: str, linear_sr: bool,
+                         deterministic: bool, drop: float, attn_drop: float,
+                         dwconv_kernel: bool, is_initializing: bool) -> bool:
+    """v2 analogue of fused_block_env_ok: may the PVT-v2 whole-stage fused
+    serving path run (lane-padded stream -> SR-KV kernel + padded attention
+    half + padded DWConv-MLP kernel)?  Shared by PVLT's stage padding gate
+    and Block's dispatch.  Conv-SR only: the linear-SRA front end has no
+    fused K/V kernel (it stays on the modular path)."""
+    return (use_pallas and variant == "v2" and not linear_sr
+            and dwconv_kernel and deterministic and not drop and not attn_drop
+            and not is_initializing and jax.default_backend() == "tpu")
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath, used at libs/pvlt.py:135)."""
 
@@ -288,6 +301,7 @@ class Block(nn.Module):
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
     pack2: bool = False        # ModelConfig.pack_stage1: stream packed 2 tokens/row
+    v2_full: bool = False      # v2 whole-stage fused serving (lane-padded stream)
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -581,6 +595,38 @@ class Block(nn.Module):
             gelu=self.kernel_gelu,
         )
 
+    def _v2_fused_block(self, x: jnp.ndarray, hw: tuple, t_num: int):
+        """PVT-v2 serving block on a lane-padded stage stream: fused SR-KV
+        (ops/sr_kv.py — v2's conv-SR front end is identical to v1's,
+        libs/pvlt.py:100-108) -> padded attention half
+        (ops/block_attention.py:fused_block_attention_padded) -> padded
+        whole-image DWConv-MLP kernel (ops/dwconv_mlp.py).  Zero XLA glue
+        and zero pad/unpad copies of the full stream per block — the copies
+        were what made the per-block 'mega' form throughput-neutral for v2."""
+        from mvlt_tpu.ops.block_attention import fused_block_attention_padded
+        from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp
+
+        p = self.variables["params"]
+        c = self.dim
+        k, v, kv_len = self._sr_kv(x, hw)
+        ap = p["attn"]
+        x = fused_block_attention_padded(
+            x, k, v,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            scale=(c // self.num_heads) ** -0.5, eps=self.ln_eps,
+            num_heads=self.num_heads, dim=c, kv_len=kv_len,
+        )
+        mp = p["mlp"]
+        return fused_dwconv_mlp(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["dwconv"]["kernel"], mp["dwconv"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            hw=hw, eps=self.ln_eps, gelu=self.kernel_gelu, dim=c,
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int,
                  deterministic: bool = True,
@@ -610,6 +656,15 @@ class Block(nn.Module):
             # PVLT pads once per stage when this path is active)
             return self._fused_full_block(x, hw, kv_normed=kv_normed,
                                           ln_next=ln_next)
+        if self.v2_full and v2_full_block_env_ok(
+                use_pallas=self.use_pallas, variant=self.variant,
+                linear_sr=self.linear_sr, deterministic=deterministic,
+                drop=self.drop, attn_drop=self.attn_drop,
+                dwconv_kernel=self.dwconv_kernel,
+                is_initializing=self.is_initializing()):
+            # v2 whole-stage fused serving on the lane-padded stream (PVLT
+            # pads once per stage when it sets v2_full)
+            return self._v2_fused_block(x, hw, t_num)
         if x.shape[-1] != self.dim:
             raise ValueError(
                 f"lane-padded stream (width {x.shape[-1]} != dim {self.dim}) "
@@ -821,6 +876,15 @@ class PVLT(nn.Module):
             drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
             is_initializing=self.is_initializing(),
         )
+        # PVT-v2 whole-stage fused serving (same stage-level lane-padding
+        # idea; per-stage shape checks added below once h/w are known)
+        v2_full_env = cfg.block_attn_kernel == "full" and v2_full_block_env_ok(
+            use_pallas=cfg.use_pallas_attention, variant=cfg.variant,
+            linear_sr=cfg.linear_sr, deterministic=det,
+            drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+            dwconv_kernel=cfg.dwconv_mlp_kernel,
+            is_initializing=self.is_initializing(),
+        )
         for i in range(cfg.num_stages):
             dim = cfg.embed_dims[i]
             patch = cfg.patch_size if i == 0 else 2
@@ -880,9 +944,16 @@ class PVLT(nn.Module):
                      and cfg.sr_ratios[i] > 1 and w % 2 == 0
                      and h % cfg.sr_ratios[i] == 0 and w % cfg.sr_ratios[i] == 0
                      and t_num >= 2 and t_num % 2 == 0)
+            # v2 whole-stage fused path: needs the whole-image DWConv
+            # kernel's 8-aligned grid and the SR-KV kernel's s2d
+            # divisibility (sr==1 at stage 4 skips the s2d entirely)
+            sr_i = cfg.sr_ratios[i]
+            v2_full_stage = (v2_full_env and h % 8 == 0 and w % 8 == 0
+                             and (h * w + t_num) % 8 == 0
+                             and (sr_i == 1 or (h % sr_i == 0 and w % sr_i == 0)))
             if pack2:
                 x = x.reshape(b, (h * w + t_num) // 2, 2 * dim)
-            elif full_kernel and d_pad != dim:
+            elif (full_kernel or v2_full_stage) and d_pad != dim:
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - dim)))
 
             block_cls = Block
@@ -910,6 +981,7 @@ class PVLT(nn.Module):
                     kernel_gelu=cfg.kernel_gelu,
                     dwconv_kernel=cfg.dwconv_mlp_kernel,
                     pack2=pack2,
+                    v2_full=v2_full_stage,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",

@@ -454,6 +454,87 @@ def _fba_impl(x: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :n, :d]
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "eps", "num_heads",
+                                             "dim", "kv_len"))
+def fused_block_attention_padded(x: jax.Array, k: jax.Array, v: jax.Array,
+                                 ln_scale: jax.Array, ln_bias: jax.Array,
+                                 wq: jax.Array, bq: jax.Array,
+                                 wp: jax.Array, bp: jax.Array,
+                                 *, scale: float, eps: float, num_heads: int,
+                                 dim: int, kv_len: int) -> jax.Array:
+    """Inference attention half on an ALREADY lane-padded stage stream.
+
+    x: [B, N, D_pad] with lanes [dim, D_pad) zero; k/v: [B, H, M_pad, 128]
+    already in the kernel's padded per-head layout (as emitted by
+    ops/sr_kv.fused_ln_sr_kv), kv_len = logical M.  Returns the padded
+    stream with pad lanes preserved (zero) — no pad/unpad copies of the
+    full stream, which is what made the 'mega' path throughput-neutral for
+    PVT-v2 (models/pvlt.py round-3 note).  Serving-only: no VJP (training
+    keeps fused_block_attention's unpadded custom-VJP form)."""
+    b, n, d_pad = x.shape
+    h = num_heads
+    hd = dim // h
+    hd_pad = 128
+    m_pad = k.shape[2]
+    assert d_pad == _round_up(dim, 128) and d_pad % 128 == 0
+    assert k.shape[1] == h and k.shape[3] == hd_pad
+
+    dtype = x.dtype
+    # per-head 128-lane weight stripes from the logical [dim, dim] params
+    # (same expansion as _prep, with the stream pad width)
+    wq2 = jnp.zeros((d_pad, h, hd_pad), dtype).at[:dim, :, :hd].set(
+        wq.astype(dtype).reshape(dim, h, hd)).reshape(d_pad, h * hd_pad)
+    bq2 = jnp.zeros((h, hd_pad), jnp.float32).at[:, :hd].set(
+        bq.astype(jnp.float32).reshape(h, hd)).reshape(1, h * hd_pad)
+    wp2 = jnp.zeros((h, hd_pad, d_pad), dtype).at[:, :hd, :dim].set(
+        wp.astype(dtype).reshape(h, hd, dim)).reshape(h * hd_pad, d_pad)
+    bp2 = jnp.zeros((1, d_pad), jnp.float32).at[0, :dim].set(
+        bp.astype(jnp.float32))
+    g2 = jnp.zeros((1, d_pad), jnp.float32).at[0, :dim].set(
+        ln_scale.astype(jnp.float32))
+    be2 = jnp.zeros((1, d_pad), jnp.float32).at[0, :dim].set(
+        ln_bias.astype(jnp.float32))
+
+    # row-tile plan (same VMEM model as _prep's forward branch)
+    per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 10
+    cap = max(256, 13 * 1024 * 1024 // per_row // 8 * 8)
+    num_tiles = max(1, -(-n // cap))
+    tile = _round_up(-(-n // num_tiles), 128)
+    n_pad = _round_up(n, tile)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
+    sf = jnp.ones((b, n_pad // tile, 8, tile // 8), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, eps=eps, dim=dim,
+                          kv_len=kv_len, num_heads=h),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * hd_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, tile // 8), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (d_pad * h * hd_pad * 2 + h * m_pad * hd_pad * 2),
+            bytes_accessed=(2 * b * n_pad * d_pad
+                            + b * 2 * h * m_pad * hd_pad) * dtype.itemsize,
+            transcendentals=b * n * h * m_pad,
+        ),
+    )(xp, k.astype(dtype), v.astype(dtype), wq2, bq2, wp2, bp2, g2, be2, sf)
+
+    return out[:, :n] if n_pad != n else out
+
+
 def fused_block_attention(x: jax.Array, k: jax.Array, v: jax.Array,
                           ln_scale: jax.Array, ln_bias: jax.Array,
                           wq: jax.Array, bq: jax.Array,

@@ -92,22 +92,30 @@ def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, kdw_ref, bdw_ref,
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hw", "eps", "gelu"))
+@functools.partial(jax.jit, static_argnames=("hw", "eps", "gelu", "dim"))
 def fused_dwconv_mlp(x: jax.Array,
                      ln_scale: jax.Array, ln_bias: jax.Array,
                      w1: jax.Array, b1: jax.Array,
                      kdw: jax.Array, bdw: jax.Array,
                      w2: jax.Array, b2: jax.Array,
                      *, hw: "tuple[int, int]", eps: float,
-                     gelu: str = "erf") -> jax.Array:
-    """x: [B, N, C] joint stream (N = h*w + text, unpadded); kdw: the flax
-    depthwise Conv kernel [3, 3, 1, Hid].  Returns
-    x + fc2(gelu(dwconv_visual(fc1(LN(x))))) in x.dtype."""
+                     gelu: str = "erf", dim: "int | None" = None) -> jax.Array:
+    """x: [B, N, C] joint stream (N = h*w + text); kdw: the flax depthwise
+    Conv kernel [3, 3, 1, Hid].  Returns
+    x + fc2(gelu(dwconv_visual(fc1(LN(x))))) in x.dtype.
+
+    ``dim``: logical channel width when x is an ALREADY lane-padded stage
+    stream (the v2 'full' path, models/pvlt.py) — LN stats mask to ``dim``
+    lanes and the zero-padded w1 rows / w2 columns keep pad lanes inert, so
+    the padded stream flows through with pad lanes preserved (zero)."""
     h, w = hw
     b, n, c = x.shape
+    d = dim if dim is not None else c
     hid = w1.shape[1]
     assert n >= h * w and h % 8 == 0 and w % 8 == 0 and n % 8 == 0, (
         "whole-image kernel needs 8-aligned h/w/n")
+    assert d == c or c == _round_up(d, 128), (
+        "lane-padded input width must be the 128-lane roundup of dim")
 
     c_pad = _round_up(c, 128)
     hid_pad = _round_up(hid, 128)
@@ -148,7 +156,7 @@ def fused_dwconv_mlp(x: jax.Array,
     xp = x if c == c_pad else jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c)))
 
     kernel_fn = functools.partial(
-        _kernel, eps=eps, dim=c, h=h, w=w, n=n, n_chunks=n_chunks, gelu=gelu)
+        _kernel, eps=eps, dim=d, h=h, w=w, n=n, n_chunks=n_chunks, gelu=gelu)
     out = pl.pallas_call(
         kernel_fn,
         grid=(b, n_chunks),

@@ -57,3 +57,24 @@ def test_v2_fused_serving_paths_match_unfused():
 
 def test_v2_linear_sr_fused_serving_paths_match_unfused():
     _check(linear_sr=True)    # avg-pool linear-SRA K/V front end
+
+
+def test_v2_full_stage_stream_matches_unfused():
+    """The v2 whole-stage fused path (block_attn='full': lane-padded stream
+    -> SR-KV kernel + padded attention half + padded DWConv-MLP kernel).
+    At img_size=64 stages 1-2 satisfy the 8-aligned-grid gate and run fused
+    while stages 3-4 fall back to the modular path — exercising both the
+    fused wiring and the per-stage gate in one forward."""
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
+
+    base = _model(dwconv_kernel=False, block_attn="none", use_pallas=False)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), imgs, ids)
+    want = np.asarray(base.apply(variables, imgs, ids, train=False)["itm_logits"])
+
+    fused = _model(dwconv_kernel=True, block_attn="full")
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        got = run_interpret(
+            lambda: fused.apply(variables, imgs, ids, train=False)["itm_logits"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)

@@ -49,9 +49,10 @@ batch = dict(images=imgs, masked_images=masked, input_ids=ids,
 
 def run(tag, cfg_kw=None, sgd=False, lt=None):
     lt = lt or LossType(itm=True, mlm=True, t2i=True, cls=False)
+    kw = dict(drop_path_rate=0.1)
+    kw.update(cfg_kw or {})
     cfg = ModelConfig(loss_type=lt, compute_dtype="bfloat16",
-                      use_pallas_attention=True, drop_path_rate=0.1,
-                      **(cfg_kw or {}))
+                      use_pallas_attention=True, **kw)
     model = create_model(cfg)
     if sgd:
         tx = optax.sgd(1e-4)
@@ -76,9 +77,31 @@ def run(tag, cfg_kw=None, sgd=False, lt=None):
     print(f"{tag}: {slope*1000:.1f} ms/step ({B/slope:.0f} pairs/s)", flush=True)
 
 
-run("full (cond-input)")
-run("sgd", sgd=True)
-run("no-bert-drop", cfg_kw=dict(bert_dropout=0.0))
-run("no-droppath", cfg_kw=dict(drop_path_rate=0.0))
-run("mlm-frac-125", cfg_kw=dict(mlm_capacity_frac=0.125))
-run("itm-only", lt=LossType(itm=True, mlm=False, t2i=False, cls=False))
+import sys
+
+_ALL = {
+    "full": lambda: run("full (cond-input)"),
+    "sgd": lambda: run("sgd", sgd=True),
+    "no-bert-drop": lambda: run("no-bert-drop", cfg_kw=dict(bert_dropout=0.0)),
+    "no-droppath": lambda: run("no-droppath", cfg_kw=dict(drop_path_rate=0.0)),
+    "mlm-frac-125": lambda: run("mlm-frac-125",
+                                cfg_kw=dict(mlm_capacity_frac=0.125)),
+    # separate the mlm-frac-125 win: chunk-size-only at the default
+    # capacity (gcd(5120, 512) = 512), capacity-only at the binomially
+    # safe 0.16 (capacity 3072, chunk gcd = 1024), and both
+    "mlm-chunk-512": lambda: run("mlm-chunk-512",
+                                 cfg_kw=dict(mlm_loss_chunk=512)),
+    "mlm-frac-16": lambda: run("mlm-frac-16",
+                               cfg_kw=dict(mlm_capacity_frac=0.16)),
+    "mlm-frac-16-chunk-512": lambda: run(
+        "mlm-frac-16-chunk-512",
+        cfg_kw=dict(mlm_capacity_frac=0.16, mlm_loss_chunk=512)),
+    "no-t2i": lambda: run("no-t2i",
+                          lt=LossType(itm=True, mlm=True, t2i=False,
+                                      cls=False)),
+    "itm-only": lambda: run("itm-only",
+                            lt=LossType(itm=True, mlm=False, t2i=False,
+                                        cls=False)),
+}
+for name in (sys.argv[1:] or _ALL):
+    _ALL[name]()
