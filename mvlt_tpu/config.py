@@ -150,10 +150,21 @@ class ModelConfig:
     mlm_loss_chunk: int = 2048
     # decode only the labeled rows (gathered to a static capacity of this
     # fraction of B*T, rounded up to a chunk): exact for any masking rate
-    # <= ~0.2 at the 0.25 default, and cuts the dominant vocab-GEMM work
-    # ~4x (more with lower fracs for short-caption recipes).  1.0 = full
-    # decode (reference behavior).
-    mlm_capacity_frac: float = 0.25
+    # <= ~word_mask_rate at the default, and cuts the dominant vocab-GEMM
+    # work (more with lower fracs for short-caption recipes).  1.0 = full
+    # decode (reference behavior).  Default 0.16 by measurement (round-4
+    # skeleton ablation: 118.7 -> 115.1 ms/step @ B=150 vs 0.25) — capacity
+    # 3072 rows at B=150*T=128 is still 3.9 sigma above the worst-case
+    # labeled count (15% of ALL positions), and overflow drops rows from
+    # the mean rather than mislabeling (losses.mlm_gather_plan).
+    mlm_capacity_frac: float = 0.16
+    # fused vocab-tiled CE kernel (ops/mlm_ce.py): online-logsumexp decode,
+    # the [rows, vocab] logits never touch HBM.  TPU-gated at the call
+    # site; CPU keeps the XLA chunked decode.  Default ON by measurement
+    # (tools/probes/bench_mlm_ce.py 2026-08-19: 115.4 -> 114.6 ms/step @
+    # B=150, parity loss-diff 1.9e-6, grads <=3.7e-3 rel at real shapes;
+    # also removes the [chunk, 30522] fp32 logits HBM spike).
+    mlm_ce_kernel: bool = True
 
     @property
     def num_stages(self) -> int:

@@ -100,6 +100,18 @@ def chunked_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
     return total / jnp.maximum(count, 1)
 
 
+def _mlm_decode_loss(hidden, table, bias, labels, chunk: int,
+                     use_kernel: bool) -> jnp.ndarray:
+    """Route the MLM decode: the fused vocab-tiled CE kernel
+    (ops/mlm_ce.py — logits never materialized in HBM) on TPU when enabled,
+    else the XLA chunked reference decode."""
+    if use_kernel and jax.default_backend() == "tpu":
+        from mvlt_tpu.ops.mlm_ce import fused_mlm_loss
+
+        return fused_mlm_loss(hidden, table, bias, labels)
+    return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
+
+
 def mlm_gather_plan(labels: jnp.ndarray, capacity_frac: float = 0.25,
                     chunk: int = 2048):
     """Static-capacity gather plan for the labeled MLM rows.
@@ -153,24 +165,26 @@ def mlm_gather_plan(labels: jnp.ndarray, capacity_frac: float = 0.25,
 
 def gathered_mlm_loss(hidden: jnp.ndarray, table: jnp.ndarray, bias: jnp.ndarray,
                       labels: jnp.ndarray, capacity_frac: float = 0.25,
-                      chunk: int = 2048) -> jnp.ndarray:
+                      chunk: int = 2048, ce_kernel: bool = False) -> jnp.ndarray:
     """MLM cross entropy decoding ONLY the labeled rows (see
     mlm_gather_plan).  Used when the model emits the full [B, T, H] hidden
     stream; the faster path gathers BEFORE the head transform inside the
-    model (PVLT.__call__'s mlm_row_idx) and calls chunked_mlm_loss directly."""
+    model (PVLT.__call__'s mlm_row_idx) and calls the decode directly."""
     plan = mlm_gather_plan(labels, capacity_frac=capacity_frac, chunk=chunk)
     if plan is None:
-        return chunked_mlm_loss(hidden, table, bias, labels, chunk=chunk)
+        return _mlm_decode_loss(hidden, table, bias, labels, chunk, ce_kernel)
     idx, sel_labs, chunk = plan
     rows = hidden.reshape(-1, hidden.shape[-1])
     sel_rows = jnp.take(rows, idx, axis=0)
-    return chunked_mlm_loss(sel_rows[None], table, bias, sel_labs[None], chunk=chunk)
+    return _mlm_decode_loss(sel_rows[None], table, bias, sel_labs[None],
+                            chunk, ce_kernel)
 
 
 def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
                    num_super: int = 48, num_sub: int = 122,
                    mlm_chunk: int = 2048,
-                   mlm_capacity_frac: float = 1.0) -> Dict[str, jnp.ndarray]:
+                   mlm_capacity_frac: float = 1.0,
+                   mlm_ce_kernel: bool = False) -> Dict[str, jnp.ndarray]:
     """All enabled objectives for one step.
 
     batch keys (mirroring the dataset contract, mcloader/fashion_gen.py:192-209):
@@ -196,11 +210,11 @@ def compute_losses(outputs: Dict[str, Any], batch: Dict[str, jnp.ndarray],
             l = MLM_LOSS_WEIGHT * gathered_mlm_loss(
                 outputs["mlm_hidden"], outputs["mlm_table"], outputs["mlm_bias"],
                 batch["mlm_labels"], capacity_frac=mlm_capacity_frac,
-                chunk=mlm_chunk)
+                chunk=mlm_chunk, ce_kernel=mlm_ce_kernel)
         else:
-            l = MLM_LOSS_WEIGHT * chunked_mlm_loss(
+            l = MLM_LOSS_WEIGHT * _mlm_decode_loss(
                 outputs["mlm_hidden"], outputs["mlm_table"], outputs["mlm_bias"],
-                batch["mlm_labels"], chunk=mlm_chunk)
+                batch["mlm_labels"], mlm_chunk, mlm_ce_kernel)
         losses["loss_mlm"] = l
         total = total + l
 

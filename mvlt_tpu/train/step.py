@@ -145,7 +145,8 @@ def make_train_step(model, cfg: ModelConfig, donate: bool = True,
             losses = compute_losses(out, loss_batch, cfg.num_super_classes,
                                     cfg.num_sub_classes,
                                     mlm_chunk=mlm_chunk,
-                                    mlm_capacity_frac=mlm_frac)
+                                    mlm_capacity_frac=mlm_frac,
+                                    mlm_ce_kernel=cfg.mlm_ce_kernel)
             return losses["total_loss"], (losses, new_batch_stats)
 
         grads, (losses, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(params)
