@@ -222,7 +222,8 @@ def _fwd_impl(rows, table_b, bias, labels):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r_pad * v_pad * h,
-            bytes_accessed=(r_pad * h + (r_pad // rt) * v_pad * h) * 2,
+            bytes_accessed=(r_pad * h + (r_pad // rt) * v_pad * h)
+            * rows.dtype.itemsize,
             transcendentals=r_pad * v_pad,
         ),
     )(xp, tp, bp, labp)
@@ -275,7 +276,8 @@ def _bwd_impl(rows, table_b, bias, labels, lse, g):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * r_pad * v_pad * h,
-            bytes_accessed=(r_pad * h * 4 + n_rt * v_pad * h * 2),
+            bytes_accessed=(r_pad * h * 4
+                            + n_rt * v_pad * h * rows.dtype.itemsize),
             transcendentals=r_pad * v_pad,
         ),
     )(*common)
@@ -314,7 +316,8 @@ def _bwd_impl(rows, table_b, bias, labels, lse, g):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * r_pad * v_pad * h,
-            bytes_accessed=(n_vt * r_pad * h * 2 + v_pad * h * 6),
+            bytes_accessed=(n_vt * r_pad * h * rows.dtype.itemsize
+                            + v_pad * h * (rows.dtype.itemsize + 4)),
             transcendentals=r_pad * v_pad,
         ),
     )(*common)
