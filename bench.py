@@ -66,9 +66,11 @@ MFU_REF_BACKBONE_BAND = (0.02, 0.05)
 MFU_REF_MLM_DECODE = 0.40        # one large cuBLAS GEMM
 MFU_REF_T2I_CONVS = 0.15         # cuDNN 3x3 convs, 64-192 channels
 
-BATCH = 101            # one retrieval bundle — the protocol's serving unit,
+BATCH = int(_os.environ.get("MVLT_BENCH_BATCH", "101"))
+                       # one retrieval bundle — the protocol's serving unit,
                        # and the fastest batch on v5e (batch sweep in
-                       # tools/probes/bench_sweep2.py: 101 > 202 > 404 > 808)
+                       # tools/probes/bench_sweep2.py: 101 > 202 > 404 > 808;
+                       # re-checked post-pack2 via the MVLT_BENCH_BATCH knob)
 WARMUP = 2
 ITERS = 24             # distinct staged batches scanned inside ONE jit
 REPS_LO, REPS_HI = 1, 5  # in-jit passes over the staged batches: the time
@@ -238,7 +240,9 @@ def main() -> None:
     # record the effective A/B knob + its source so two runs from different
     # shells can't silently measure different configs (ADVICE r3)
     print(f"[bench] pack_stage1={cfg.pack_stage1} "
-          f"(source={'env MVLT_PACK_STAGE1' if 'MVLT_PACK_STAGE1' in _os.environ else 'ModelConfig default'})",
+          f"(source={'env MVLT_PACK_STAGE1' if 'MVLT_PACK_STAGE1' in _os.environ else 'ModelConfig default'}) "
+          f"batch={BATCH} "
+          f"(source={'env MVLT_BENCH_BATCH' if 'MVLT_BENCH_BATCH' in _os.environ else 'default'})",
           file=__import__('sys').stderr, flush=True)
 
     rng = np.random.default_rng(0)
@@ -339,6 +343,7 @@ def main() -> None:
         "metric": "fashion_gen_itm_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
+        "serve_batch": BATCH,
         "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 3),
         # derivation (module docstring): component-wise A100 roofline of the
         # reference's full retrieval-protocol forward (itm+mlm+t2i heads)
