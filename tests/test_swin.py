@@ -164,17 +164,21 @@ def test_swin_train_step_runs():
     assert int(new_state.step) == 1
 
 
-def test_fused_swin_attention_matches_xla(rng):
+@pytest.mark.parametrize("nw,pair_env", [(4, "1"), (4, "0"), (3, "1")])
+def test_fused_swin_attention_matches_xla(rng, monkeypatch, nw, pair_env):
     """ops/swin_attention kernel (interpret mode) vs the module's XLA
     two-block einsum formulation, including rel-pos bias + region mask
-    folded into the additive table."""
+    folded into the additive table.  Covers the window-pair grouped form
+    (even nW, default), the forced single-window form (MVLT_SWIN_PAIR=0)
+    and the odd-nW fallback."""
     from unittest import mock
 
     import jax.experimental.pallas as pl
 
     from mvlt_tpu.ops.swin_attention import fused_swin_attention
 
-    b, nw, nh, ws2, hd, t = 2, 4, 2, 16, 32, 24
+    monkeypatch.setenv("MVLT_SWIN_PAIR", pair_env)
+    b, nh, ws2, hd, t = 2, 2, 16, 32, 24
     q = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)
     kw = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)
     vw = jnp.asarray(rng.normal(size=(b, nw, nh, ws2, hd)), jnp.float32)

@@ -28,11 +28,18 @@ def bench(name):
     import os
     over = {}
     # post-measurement A/B knobs: MVLT_BLOCK_ATTN=mega|full|none,
-    # MVLT_DWCONV_KERNEL=1 (the v2 fused DWConv-MLP kernel)
+    # MVLT_DWCONV_KERNEL=1 (the v2 fused DWConv-MLP kernel),
+    # MVLT_PACK_STAGE1=0|1 (packed stage-1 stream, v1 'full' + v2 'full'),
+    # MVLT_SWIN_PAIR=0 (read inside ops/swin_attention.py: disables the
+    # window-pair grouped kernel form)
     if os.environ.get("MVLT_BLOCK_ATTN"):
         over["block_attn_kernel"] = os.environ["MVLT_BLOCK_ATTN"]
     if os.environ.get("MVLT_DWCONV_KERNEL") == "1":
         over["dwconv_mlp_kernel"] = True
+    if os.environ.get("MVLT_PACK_STAGE1"):
+        over["pack_stage1"] = os.environ["MVLT_PACK_STAGE1"] == "1"
+    if over:
+        print(f"[bench_variants] overrides: {over}", file=sys.stderr, flush=True)
     cfg = ModelConfig(name=name,
                       loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
                       compute_dtype="bfloat16", use_pallas_attention=True,
