@@ -627,6 +627,36 @@ class Block(nn.Module):
             hw=hw, eps=self.ln_eps, gelu=self.kernel_gelu, dim=c,
         )
 
+    def _v2_fused_block_p2(self, x: jnp.ndarray, hw: tuple, t_num: int):
+        """_v2_fused_block on the PACKED stage-1 stream: packed SR-KV front
+        end (v2's conv-SR == v1's) -> packed attention half
+        (ops/block_packed.py:fused_attention_p2) -> packed whole-image
+        DWConv-MLP (ops/dwconv_mlp.py:fused_dwconv_mlp_p2, whose 3x3 halo
+        crosses the packed lane halves in VMEM)."""
+        from mvlt_tpu.ops.block_packed import fused_attention_p2
+        from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp_p2
+
+        p = self.variables["params"]
+        c = self.dim
+        k, v, kv_len = self._sr_kv_p2(x, hw, t_num)
+        ap = p["attn"]
+        x = fused_attention_p2(
+            x, k, v,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            ap["q"]["kernel"], ap["q"].get("bias", jnp.zeros((c,), jnp.float32)),
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            scale=(c // self.num_heads) ** -0.5, eps=self.ln_eps,
+            dim=c, kv_len=kv_len,
+        )
+        mp = p["mlp"]
+        return fused_dwconv_mlp_p2(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["dwconv"]["kernel"], mp["dwconv"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            hw=hw, eps=self.ln_eps, gelu=self.kernel_gelu, dim=c,
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int,
                  deterministic: bool = True,
@@ -662,6 +692,9 @@ class Block(nn.Module):
                 drop=self.drop, attn_drop=self.attn_drop,
                 dwconv_kernel=self.dwconv_kernel,
                 is_initializing=self.is_initializing()):
+            if self.pack2:
+                # packed stage-1 stream (same layout as the v1 'full' path)
+                return self._v2_fused_block_p2(x, hw, t_num)
             # v2 whole-stage fused serving on the lane-padded stream (PVLT
             # pads once per stage when it sets v2_full)
             return self._v2_fused_block(x, hw, t_num)
@@ -938,12 +971,6 @@ class PVLT(nn.Module):
             # dying in a generic reshape trace error); sequence sharding is
             # excluded because the pack reshape halves the (sharded)
             # sequence axis mid-stage — untested under sp until measured.
-            pack2 = (full_kernel and cfg.pack_stage1 and dim * 2 == 128
-                     and self.sp_mesh is None
-                     and cfg.num_heads[i] == 1 and cfg.sr_ratios[i] % 2 == 0
-                     and cfg.sr_ratios[i] > 1 and w % 2 == 0
-                     and h % cfg.sr_ratios[i] == 0 and w % cfg.sr_ratios[i] == 0
-                     and t_num >= 2 and t_num % 2 == 0)
             # v2 whole-stage fused path: needs the whole-image DWConv
             # kernel's 8-aligned grid and the SR-KV kernel's s2d
             # divisibility (sr==1 at stage 4 skips the s2d entirely)
@@ -951,6 +978,19 @@ class PVLT(nn.Module):
             v2_full_stage = (v2_full_env and h % 8 == 0 and w % 8 == 0
                              and (h * w + t_num) % 8 == 0
                              and (sr_i == 1 or (h % sr_i == 0 and w % sr_i == 0)))
+            pack2_env = (cfg.pack_stage1 and dim * 2 == 128
+                         and self.sp_mesh is None
+                         and cfg.num_heads[i] == 1 and sr_i % 2 == 0
+                         and sr_i > 1 and w % 2 == 0
+                         and h % sr_i == 0 and w % sr_i == 0
+                         and t_num >= 2 and t_num % 2 == 0)
+            # the v2 packed path additionally needs the packed DWConv-MLP
+            # kernel's 8-aligned half-grid ([h, w/2] plus the packed stream
+            # row count)
+            pack2 = pack2_env and (
+                full_kernel
+                or (v2_full_stage and h % 8 == 0 and (w // 2) % 8 == 0
+                    and ((h * w + t_num) // 2) % 8 == 0))
             if pack2:
                 x = x.reshape(b, (h * w + t_num) // 2, 2 * dim)
             elif (full_kernel or v2_full_stage) and d_pad != dim:

@@ -236,6 +236,117 @@ def fused_block_p2(x: jax.Array, k: jax.Array, v: jax.Array,
     return out if n_pad == n2 else out[:, :n2]
 
 
+def _attn_kernel_p2(x_ref, klo_ref, khi_ref, vlo_ref, vhi_ref, a_ref,
+                    g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref, o_ref,
+                    *, scale: float, eps: float, kv_len: int):
+    """Attention HALF of _block_kernel_p2 (LN1 -> q -> even/odd softmax_av ->
+    out proj -> +residual) on a packed [tile, 128] stream — the v2 serving
+    block needs the halves separate (the DWConv MLP has its own whole-image
+    kernel, ops/dwconv_mlp.py:fused_dwconv_mlp_p2)."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    normed = packed_ln(xf, a_ref[...], eps, g_ref[0].astype(jnp.float32),
+                       be_ref[0].astype(jnp.float32)).astype(x.dtype)
+    q = (jax.lax.dot_general(
+        normed, wq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
+    o_even = softmax_av(q, klo_ref[0, 0], vlo_ref[0, 0],
+                        scale=scale, kv_len=kv_len, out_dtype=jnp.float32)
+    o_odd = softmax_av(q, khi_ref[0, 0], vhi_ref[0, 0],
+                       scale=scale, kv_len=kv_len, out_dtype=jnp.float32)
+    attn = (o_even + o_odd).astype(x.dtype)
+    y = jax.lax.dot_general(
+        attn, wp_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[0].astype(jnp.float32)
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "eps", "dim", "kv_len"))
+def fused_attention_p2(x: jax.Array, k: jax.Array, v: jax.Array,
+                       ln_scale, ln_bias, wq, bq, wp, bp,
+                       *, scale: float, eps: float, dim: int, kv_len: int):
+    """Attention half-block on a PACKED stream x: [B, N2, 2*dim] (dim*2 ==
+    128, single head).  k, v: [B, 1, M_pad, 128] from fused_ln_sr_kv_p2.
+    Returns x + proj(attn(LN1(x))) packed — the v2 serving path's first
+    half (the whole-block form is fused_block_p2)."""
+    b, n2, d_in = x.shape
+    if d_in != 2 * dim or d_in != 128:
+        raise ValueError(f"pack2 requires a [B, N/2, 128] stream with "
+                         f"dim=64 (got width {d_in}, dim {dim})")
+    m_pad = k.shape[2]
+    if k.shape[1] != 1 or k.shape[3] != 128:
+        raise ValueError(f"pack2 needs single-head padded K/V, got {k.shape}")
+    dtype = x.dtype
+
+    zeros_hd = jnp.zeros_like(k[..., :dim])
+    k_hi = jnp.concatenate([zeros_hd, k[..., :dim]], axis=-1).astype(dtype)
+    v_hi = jnp.concatenate([zeros_hd, v[..., :dim]], axis=-1).astype(dtype)
+    klo = jnp.concatenate([k[..., :dim], zeros_hd], axis=-1).astype(dtype)
+    vlo = jnp.concatenate([v[..., :dim], zeros_hd], axis=-1).astype(dtype)
+
+    a = half_average_matrix(dim, 128)
+    wq2 = _blockdiag(wq, dim, dim, dtype)
+    bq2 = _dup(bq, dim, dim)
+    wp2 = _blockdiag(wp, dim, dim, dtype)
+    bp2 = _dup(bp, dim, dim)
+    g1 = _dup(ln_scale, dim, dim)
+    be1 = _dup(ln_bias, dim, dim)
+
+    # tile sizing: the fused_block_p2 model minus the MLP terms
+    esz = x.dtype.itemsize
+    fixed = (4 * m_pad * 128 + 2 * 128 * 128) * esz + 128 * 128 * 4
+    per_row = 2 * m_pad * 4 + 128 * (26 + 2 * esz)
+    cap = max(64, (_VMEM_BUDGET - fixed) // per_row // 16 * 16)
+    num_tiles = max(1, -(-n2 // cap))
+    tile = 0
+    for nt in range(num_tiles, num_tiles + 8):
+        if n2 % nt == 0 and (n2 // nt) % 16 == 0 and n2 // nt <= cap:
+            tile = n2 // nt
+            break
+    if not tile:
+        tile = _round_up(-(-n2 // num_tiles), 16)
+    n_pad = _round_up(n2, tile)
+    xp = x if n_pad == n2 else jnp.pad(x, ((0, 0), (0, n_pad - n2), (0, 0)))
+
+    stream_spec = pl.BlockSpec((1, tile, 128), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, m_pad, 128), lambda i, j: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def fix(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_p2, scale=scale, eps=eps,
+                          kv_len=kv_len),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            stream_spec, kv_spec, kv_spec, kv_spec, kv_spec,
+            fix((128, 128)),
+            fix((1, 128)), fix((1, 128)),
+            fix((128, 128)), fix((1, 128)), fix((128, 128)), fix((1, 128)),
+        ],
+        out_specs=stream_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 128), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n2 * (2 * 128 * 128 * 2 + 2 * m_pad * 128 * 2),
+            bytes_accessed=(2 * b * n2 * 128 * dtype.itemsize
+                            + b * 4 * m_pad * 128 * dtype.itemsize
+                            + 2 * 128 * 128 * dtype.itemsize),
+            transcendentals=b * n2 * 2 * m_pad,
+        ),
+    )(xp, klo, k_hi, vlo, v_hi, a, g1, be1, wq2, bq2, wp2, bp2)
+    return out if n_pad == n2 else out[:, :n2]
+
+
 def _kv_kernel_p2(x_ref, a_ref, g1_ref, b1_ref, w_ref, bs_ref, gs_ref,
                   bsn_ref, ulo_ref, uhi_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                   k_ref, v_ref, lhs_ref, kv_ref,

@@ -114,6 +114,86 @@ def test_sr_kv_p2_matches_unpacked(sr, hw, t):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_attention_p2_matches_padded():
+    """fused_attention_p2 (packed stream) == fused_block_attention_padded
+    (lane-padded stream) on the same tokens — the v2 serving block's
+    attention half in both layouts, including the kv_len mask."""
+    from mvlt_tpu.ops.block_attention import fused_block_attention_padded
+    from mvlt_tpu.ops.block_packed import fused_attention_p2
+
+    rng = np.random.default_rng(11)
+    b, n, dim, m = 2, 64, 64, 37
+    m_pad = 128
+
+    x = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+    kv = rng.normal(size=(2, b, 1, m_pad, 128)).astype(np.float32)
+    kv[:, :, :, :, dim:] = 0.0       # producer layout: values in lanes 0:dim
+    k, v = jnp.asarray(kv[0]), jnp.asarray(kv[1])
+    g = jnp.asarray(rng.normal(size=(dim,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(dim, dim)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32)
+    wp = jnp.asarray(rng.normal(size=(dim, dim)) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 128 - dim)))
+    want = _run_interpret(
+        fused_block_attention_padded, xp, k, v, g, be, wq, bq, wp, bp,
+        scale=dim ** -0.5, eps=1e-6, num_heads=1, dim=dim, kv_len=m)
+    got = _run_interpret(
+        fused_attention_p2, _pack(x), k, v, g, be, wq, bq, wp, bp,
+        scale=dim ** -0.5, eps=1e-6, dim=dim, kv_len=m)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, n, dim),
+                               np.asarray(want)[:, :, :dim],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dwconv_mlp_p2_matches_unpacked():
+    """fused_dwconv_mlp_p2 == fused_dwconv_mlp on the same tokens: the
+    packed 3x3 halo (18 shifted products crossing the lane halves) must
+    reproduce the unpacked 9-shift depthwise conv exactly, text rows
+    bypassing the conv in both layouts."""
+    from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp, fused_dwconv_mlp_p2
+
+    rng = np.random.default_rng(13)
+    b, h, w, t, dim, hid = 2, 16, 16, 16, 64, 256
+    n = h * w + t
+
+    x = jnp.asarray(rng.normal(size=(b, n, dim)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(dim,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(dim, hid)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(hid,)) * 0.1, jnp.float32)
+    kdw = jnp.asarray(rng.normal(size=(3, 3, 1, hid)) * 0.3, jnp.float32)
+    bdw = jnp.asarray(rng.normal(size=(hid,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(hid, dim)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(dim,)) * 0.1, jnp.float32)
+
+    want = _run_interpret(
+        fused_dwconv_mlp, x, g, be, w1, b1, kdw, bdw, w2, b2,
+        hw=(h, w), eps=1e-6, gelu="erf")
+    got = _run_interpret(
+        fused_dwconv_mlp_p2, _pack(x), g, be, w1, b1, kdw, bdw, w2, b2,
+        hw=(h, w), eps=1e-6, gelu="erf", dim=dim)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, n, dim),
+                               np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dwconv_mlp_p2_rejects_bad_shapes():
+    from mvlt_tpu.ops.dwconv_mlp import fused_dwconv_mlp_p2
+
+    z64 = jnp.zeros((64,), jnp.float32)
+    args = (z64 + 1.0, z64, jnp.zeros((64, 256)), jnp.zeros((256,)),
+            jnp.zeros((3, 3, 1, 256)), jnp.zeros((256,)),
+            jnp.zeros((256, 64)), z64)
+    with pytest.raises(ValueError, match="pack2"):   # unpacked width
+        fused_dwconv_mlp_p2(jnp.zeros((1, 272, 64)), *args,
+                            hw=(16, 16), eps=1e-6, dim=64)
+    with pytest.raises(ValueError, match="pack2"):   # no text tail
+        fused_dwconv_mlp_p2(jnp.zeros((1, 128, 128)), *args,
+                            hw=(16, 16), eps=1e-6, dim=64)
+
+
 def _model(block_attn: str, use_pallas: bool, pack: bool):
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
