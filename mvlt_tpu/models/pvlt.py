@@ -29,6 +29,7 @@ Reference quirks reproduced (see SURVEY.md §7 "Hard parts" item 4):
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Dict, Optional
 
 import jax
@@ -67,6 +68,22 @@ def v2_full_block_env_ok(*, use_pallas: bool, variant: str, linear_sr: bool,
     return (use_pallas and variant == "v2" and not linear_sr
             and dwconv_kernel and deterministic and not drop and not attn_drop
             and not is_initializing and jax.default_backend() == "tpu")
+
+
+def swin_full_block_env_ok(*, use_pallas: bool, variant: str,
+                           deterministic: bool, drop: float, attn_drop: float,
+                           is_initializing: bool) -> bool:
+    """Swin analogue of fused_block_env_ok: may the whole-block band kernel
+    (ops/swin_band.py — split visual/text stage stream, lane-padded visual
+    half) run?  Shared by PVLT's stage gate and Block's dispatch.
+    MVLT_SWIN_FULL is the measurement A/B knob (read at trace time, like
+    MVLT_SWIN_PAIR).  Default OFF pending on-device parity + timing
+    (tools/tpu_swin_full_check.py) — repo rule: defaults are decided by
+    measurement, and the tunnel was down when this landed."""
+    return (use_pallas and variant == "swin" and deterministic
+            and not drop and not attn_drop and not is_initializing
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("MVLT_SWIN_FULL", "0") == "1")
 
 
 class DropPath(nn.Module):
@@ -302,6 +319,7 @@ class Block(nn.Module):
     dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
     pack2: bool = False        # ModelConfig.pack_stage1: stream packed 2 tokens/row
     v2_full: bool = False      # v2 whole-stage fused serving (lane-padded stream)
+    swin_full: bool = False    # swin whole-block band kernel (split stream)
     window_size: int = 8       # swin variant: attention window
     shift: bool = False        # swin variant: shifted window (odd blocks)
     dtype: jnp.dtype = jnp.float32
@@ -657,6 +675,116 @@ class Block(nn.Module):
             hw=hw, eps=self.ln_eps, gelu=self.kernel_gelu, dim=c,
         )
 
+    def _swin_fused_block(self, xv: jnp.ndarray, xt: jnp.ndarray, hw: tuple,
+                          t_num: int):
+        """Swin serving block on the SPLIT stage stream: the visual half
+        runs as the whole-block band kernel (ops/swin_band.py — window
+        partition folded into the additive mask, zero windowing glue in
+        HBM; the vertical half of the cyclic shift is the roll/unroll pair
+        here); the text-query half (pooled visual KV + text KV,
+        models/swin.py:174-188) runs in XLA on the [B, T, C] text stream,
+        consuming the kernel's x-pooled LN1 output.  Returns (xv', xt')."""
+        from mvlt_tpu.ops.kernel_math import round_up as _round_up
+        from mvlt_tpu.ops.swin_band import (fused_swin_band_block,
+                                            swin_band_add_tables)
+
+        p = self.variables["params"]
+        ap = p["attn"]
+        c = self.dim
+        nh = self.num_heads
+        hd = c // nh
+        h, w = hw
+        b = xv.shape[0]
+        ws = min(self.window_size, h, w)
+        s = ws // 2 if self.shift else 0
+        win = max(1, h // 8)           # SwinJointAttention.text_pool default
+        dtype = xt.dtype
+        scale = hd ** -0.5
+
+        wq = ap["q"]["kernel"]
+        bq = ap["q"].get("bias", jnp.zeros((c,), jnp.float32))
+        wkv = ap["kv"]["kernel"]
+        bkv = ap["kv"].get("bias", jnp.zeros((2 * c,), jnp.float32))
+        wk_, wv_ = wkv[:, :c], wkv[:, c:]
+        bk_, bv_ = bkv[:c], bkv[c:]
+        wp_ = ap["proj"]["kernel"]
+        bp_ = ap["proj"]["bias"]
+
+        def ln(z, prm):
+            zf = z.astype(jnp.float32)
+            mu = zf.mean(-1, keepdims=True)
+            var = zf.var(-1, keepdims=True)
+            return ((zf - mu) * jax.lax.rsqrt(var + self.ln_eps)
+                    * prm["scale"].astype(jnp.float32)
+                    + prm["bias"].astype(jnp.float32)).astype(dtype)
+
+        def dense(z, wm, bm):
+            return (jnp.einsum("btc,co->bto", z, wm.astype(dtype),
+                               preferred_element_type=jnp.float32)
+                    + bm.astype(jnp.float32)).astype(dtype)
+
+        # --- text-side LN1 + projections (XLA; [B, T, c] only) ---
+        ln_t = ln(xt, p["norm1"])
+        q_t = dense(ln_t, wq, bq)
+        k_t = dense(ln_t, wk_, bk_)
+        v_t = dense(ln_t, wv_, bv_)
+
+        t_pad = _round_up(t_num, 16)
+
+        def stripe_seq(a):             # [B, T, c] -> [B, T_pad, nh*128]
+            z = jnp.zeros((b, t_pad, nh, 128), dtype)
+            z = z.at[:, :t_num, :, :hd].set(a.reshape(b, t_num, nh, hd))
+            return z.reshape(b, t_pad, nh * 128)
+
+        add = swin_band_add_tables(ap["rel_pos_bias"], h=h, w=w, ws=ws,
+                                   shift=bool(s), t_num=t_num, t_pad=t_pad)
+        xin = jnp.roll(xv, -s * w, axis=1) if s else xv
+        mp = p["mlp"]
+        out_vis, pooled = fused_swin_band_block(
+            xin, stripe_seq(k_t), stripe_seq(v_t), add,
+            p["norm1"]["scale"], p["norm1"]["bias"],
+            wq, bq, wk_, bk_, wv_, bv_, wp_, bp_,
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            hw=hw, ws=ws, win=win, dim=c, num_heads=nh, scale=scale,
+            eps1=self.ln_eps, eps2=self.ln_eps, gelu=self.kernel_gelu)
+        if s:
+            out_vis = jnp.roll(out_vis, s * w, axis=1)
+
+        # --- text queries: pooled visual KV + text KV (swin.py:174-188);
+        # pool(dense(ln)) == dense(pool(ln)) exactly (affine, mean weights
+        # sum to 1), so the kernel's pooled-LN rows feed the projections ---
+        pooled = pooled[..., :c].reshape(b, h, w // win, c)
+        if s:
+            pooled = jnp.roll(pooled, s, axis=1)   # undo the vertical roll
+        pooled = pooled.reshape(b, h // win, win, w // win, c).mean(axis=2)
+        pooled = pooled.reshape(b, -1, c).astype(dtype)
+        k_pool = dense(pooled, wk_, bk_)
+        v_pool = dense(pooled, wv_, bv_)
+
+        def heads_of(z):               # [B, L, c] -> [B, nh, L, hd]
+            return jnp.moveaxis(z.reshape(z.shape[:-1] + (nh, hd)), -2, -3)
+
+        k_cat = jnp.concatenate([heads_of(k_pool), heads_of(k_t)], axis=-2)
+        v_cat = jnp.concatenate([heads_of(v_pool), heads_of(v_t)], axis=-2)
+        t_logits = jnp.einsum("bhqd,bhkd->bhqk", heads_of(q_t), k_cat,
+                              preferred_element_type=jnp.float32) * scale
+        t_probs = jax.nn.softmax(t_logits, axis=-1).astype(dtype)
+        out_txt = jnp.einsum("bhqk,bhkd->bhqd", t_probs, v_cat,
+                             preferred_element_type=jnp.float32).astype(dtype)
+        out_txt = jnp.moveaxis(out_txt, 1, 2).reshape(b, t_num, c)
+        xt = xt + dense(out_txt, wp_, bp_)
+
+        # --- text MLP half (same gelu form as the kernel's visual rows) ---
+        hid = dense(ln(xt, p["norm2"]), mp["fc1"]["kernel"], mp["fc1"]["bias"])
+        if self.kernel_gelu == "erf":
+            hid = erf_gelu(hid)
+        else:
+            hid = jax.nn.gelu(hid, approximate=True)
+        xt = xt + dense(hid, mp["fc2"]["kernel"], mp["fc2"]["bias"])
+        return out_vis, xt
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: tuple, t_num: int,
                  deterministic: bool = True,
@@ -666,6 +794,13 @@ class Block(nn.Module):
         # can mark it static (static_argnums in PVLT's stage loop).
         # kv_normed / ln_next belong to the 'full'-kernel LN handoff
         # (ops/block_fused.py) and are only passed on that path.
+
+        # Swin whole-block band-kernel serving: the stage loop hands this
+        # path a SPLIT (visual lane-padded, text) stream tuple — PVLT's
+        # swin_full_stage gate and this dispatch share swin_full_block_env_ok
+        if self.swin_full and isinstance(x, tuple):
+            xv, xt = x
+            return self._swin_fused_block(xv, xt, hw, t_num)
 
         # Megakernel A/B: the modular path (Pallas fused-attention +
         # fused-LN-MLP, XLA projections) measured slightly faster than the
@@ -918,6 +1053,15 @@ class PVLT(nn.Module):
             dwconv_kernel=cfg.dwconv_mlp_kernel,
             is_initializing=self.is_initializing(),
         )
+        # Swin whole-block band-kernel serving (ops/swin_band.py): the stage
+        # keeps the stream SPLIT (lane-padded visual half, text half) so the
+        # per-block windowing glue and the visual/text concats vanish
+        swin_full_env = cfg.block_attn_kernel == "full" and swin_full_block_env_ok(
+            use_pallas=cfg.use_pallas_attention, variant=cfg.variant,
+            deterministic=det, drop=cfg.drop_rate,
+            attn_drop=cfg.attn_drop_rate,
+            is_initializing=self.is_initializing(),
+        )
         for i in range(cfg.num_stages):
             dim = cfg.embed_dims[i]
             patch = cfg.patch_size if i == 0 else 2
@@ -951,14 +1095,33 @@ class PVLT(nn.Module):
                 pos_embed = pos_embed[:, 1:]  # drop PVT cls slot (libs/pvlt.py:341-342)
             pos_embed = _resize_pos_embed(pos_embed.astype(dtype), (native_g, native_g), (h, w))
 
-            x = jnp.concatenate([x + pos_embed, y + text_pos_embed.astype(dtype)], axis=1)
-            if cfg.drop_rate:
+            d_pad = -(-dim // 128) * 128
+            # swin whole-block band kernel: stream stays SPLIT this stage.
+            # Shape gates: even window (the shift is ws//2), dividing grids,
+            # a dividing text-pool window, and 16-sublane-aligned band /
+            # pooled row counts (bf16 Mosaic alignment)
+            ws_i = min(cfg.window_size, h, w)
+            win_i = max(1, h // 8)
+            swin_full_stage = (
+                swin_full_env and self.sp_mesh is None
+                and ws_i % 2 == 0 and h % ws_i == 0 and w % ws_i == 0
+                and h % win_i == 0 and w % win_i == 0
+                and (ws_i * w) % 16 == 0
+                and (ws_i * (w // win_i)) % 16 == 0)
+            if swin_full_stage:
+                xv = x + pos_embed
+                if d_pad != dim:
+                    xv = jnp.pad(xv, ((0, 0), (0, 0), (0, d_pad - dim)))
+                x = (xv, y + text_pos_embed.astype(dtype))
+            else:
+                x = jnp.concatenate(
+                    [x + pos_embed, y + text_pos_embed.astype(dtype)], axis=1)
+            if cfg.drop_rate and not swin_full_stage:
                 x = nn.Dropout(rate=cfg.drop_rate)(x, deterministic=det)
-            if self.sp_mesh is not None:
+            if self.sp_mesh is not None and not swin_full_stage:
                 from mvlt_tpu.parallel.sharding import sequence_sharding_constraint
 
                 x = sequence_sharding_constraint(x, self.sp_mesh)
-            d_pad = -(-dim // 128) * 128
             # pack2 (ModelConfig.pack_stage1): at dim=64 stages, instead of
             # lane-padding 64->128 (2x HBM/VPU on the whole stream), pack two
             # tokens per 128-lane row — a free contiguous reshape; the
@@ -1022,6 +1185,7 @@ class PVLT(nn.Module):
                     dwconv_kernel=cfg.dwconv_mlp_kernel,
                     pack2=pack2,
                     v2_full=v2_full_stage,
+                    swin_full=swin_full_stage,
                     window_size=cfg.window_size,
                     shift=cfg.variant == "swin" and j % 2 == 1,  # alternate W-MSA/SW-MSA
                     dtype=dtype, name=f"block{i + 1}_{j}",
@@ -1034,11 +1198,16 @@ class PVLT(nn.Module):
                 x = mk_block(j)(x, (h, w), t_num, det)
             cur += cfg.depths[i]
 
-            if pack2:  # un-pack: free contiguous reshape back to [B, N, dim]
-                x = x.reshape(b, h * w + t_num, dim)
-            # split back (and drop pad lanes, fused into the same copy)
-            x, y = x[:, : h * w, :dim], x[:, h * w :, :dim]
-            x = x.reshape(b, h, w, dim)
+            if swin_full_stage:
+                # stream ran split: just drop the visual pad lanes
+                xv, y = x
+                x = xv[..., :dim].reshape(b, h, w, dim)
+            else:
+                if pack2:  # un-pack: free contiguous reshape to [B, N, dim]
+                    x = x.reshape(b, h * w + t_num, dim)
+                # split back (drop pad lanes, fused into the same copy)
+                x, y = x[:, : h * w, :dim], x[:, h * w :, :dim]
+                x = x.reshape(b, h, w, dim)
             img_feats.append(x)
             text_feats.append(y)
 
