@@ -76,14 +76,14 @@ def swin_full_block_env_ok(*, use_pallas: bool, variant: str,
     """Swin analogue of fused_block_env_ok: may the whole-block band kernel
     (ops/swin_band.py — split visual/text stage stream, lane-padded visual
     half) run?  Shared by PVLT's stage gate and Block's dispatch.
-    MVLT_SWIN_FULL is the measurement A/B knob (read at trace time, like
-    MVLT_SWIN_PAIR).  Default OFF pending on-device parity + timing
-    (tools/tpu_swin_full_check.py) — repo rule: defaults are decided by
-    measurement, and the tunnel was down when this landed."""
+    MVLT_SWIN_FULL=0 is the measurement A/B knob (read at trace time, like
+    MVLT_SWIN_PAIR).  Default ON by measurement (tools/tpu_swin_full_check.py
+    2026-08-19: itm-logit rel-err 9.7e-3 bf16-tolerance parity, 3376 -> 6859
+    pairs/s @ B=101 on v5e — the windowing glue WAS the swin serving gap)."""
     return (use_pallas and variant == "swin" and deterministic
             and not drop and not attn_drop and not is_initializing
             and jax.default_backend() == "tpu"
-            and _os.environ.get("MVLT_SWIN_FULL", "0") == "1")
+            and _os.environ.get("MVLT_SWIN_FULL", "1") != "0")
 
 
 class DropPath(nn.Module):

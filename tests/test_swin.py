@@ -209,10 +209,13 @@ def test_fused_swin_attention_matches_xla(rng, monkeypatch, nw, pair_env):
                                rtol=3e-5, atol=3e-5)
 
 
-def test_swin_fused_routing_matches_unfused():
+def test_swin_fused_routing_matches_unfused(monkeypatch):
     """Model-level: the fused windowed-attention serving gate forced open
     (backend mock + interpret mode) matches the unfused forward through
-    the real param tree (same guard as tests/test_v2_fused_routing.py)."""
+    the real param tree (same guard as tests/test_v2_fused_routing.py).
+    MVLT_SWIN_FULL=0 pins the MODULAR fused path — the default band-kernel
+    routing has its own model-level test (tests/test_swin_band.py)."""
+    monkeypatch.setenv("MVLT_SWIN_FULL", "0")
     from unittest import mock
 
     import jax

@@ -42,7 +42,7 @@ def _model(block_attn: str, use_pallas: bool):
 
 
 def test_swin_band_full_stage_matches_unfused(monkeypatch):
-    monkeypatch.setenv("MVLT_SWIN_FULL", "1")  # opt-in pending measurement
+    monkeypatch.setenv("MVLT_SWIN_FULL", "1")  # pin the default-ON routing
     rng = np.random.default_rng(11)
     imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
