@@ -150,7 +150,11 @@ def build_run_config(args) -> RunConfig:
     return cfg
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> "dict | None":
+    """CLI entry point.  Returns the results dict for the eval modes
+    (retrieval/recognition/vl-eval) so programmatic callers — the parity
+    harness, mvlt_tpu/eval/parity.py — can consume the metrics; train
+    invocations return None."""
     from mvlt_tpu.utils.backend import backend_or_die
 
     args = get_args_parser().parse_args(argv)

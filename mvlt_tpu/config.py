@@ -107,6 +107,17 @@ class ModelConfig:
     # 11.34 vs 13.25 ms/batch @ B=101 (8903 vs 7625 pairs/s), itm-logit
     # rel-err 7.7e-3 (bf16 tolerance) vs the unpacked 'full' path.
     pack_stage1: bool = True
+    # hp2 head-pair striping for hd<=64 MULTI-head stages (stages 2-4 of
+    # every shipped v1 config, heads 2/5/8 at head_dim 64): the 'full'
+    # whole-block kernel packs TWO heads per 128-lane stripe (head A lanes
+    # 0:64, head B 64:128) instead of one zero-padded head per stripe —
+    # ceil(H/2) stripes halve the Q/out-projection MXU work and the q/attn
+    # VPU element count; both heads' logits come from ONE full-lane matmul
+    # against block-interleaved K rows (ops/kernel_math.softmax_av_pair).
+    # Stage 3's dim-320 Q/proj operands shrink 640->384 lanes as a bonus.
+    # pack2 covers the single-head dim-64 stage; paths other than v1 'full'
+    # ignore this knob.  Default by measurement (tools/tpu_hp2_check.py).
+    head_pair_attn: bool = False
     # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
     # folds into the kernel as a per-sample row scale.  Default on by
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the
@@ -134,7 +145,11 @@ class ModelConfig:
     # scan harness); tanh's max error vs exact erf-GELU (4.7e-4 abs) is
     # below the bf16 quantization noise the compute path already carries.
     # XLA paths (fp32 CPU parity oracle, modular fallback) always use exact
-    # erf; 'erf' restores the A&S form in the kernels too.
+    # erf; 'erf' restores the A&S form in the kernels too.  Scope: this
+    # knob covers ONLY GELUs computed inside Pallas kernels — XLA-side
+    # MLPs that ride a fused path (e.g. the Swin band path's text-half MLP,
+    # models/pvlt.py _swin_fused_block) use exact erf regardless, matching
+    # the unfused path bit-for-bit (VERDICT r4 weak #4).
     kernel_gelu: str = "tanh"
     # v2-only: serve the DWConv MLP half through the whole-image fused
     # Pallas kernel (ops/dwconv_mlp.py — LN+fc1+in-VMEM 9-shift depthwise+

@@ -183,18 +183,26 @@ class FashionGenRetrieval:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         bundle = _load_pickle(self.bundles[index])
-        rng = np.random.default_rng(index)  # masking unused here; clean ids only
-        images, ids, info = [], [], []
+        images, info = [], []
+        captions = []
         for _, cand in bundle.items():
-            text = process_caption(cand["captions"], self.tokenizer,
-                                   cfg.num_text_tokens, word_mask_rate=0.0, rng=rng)
-            ids.append(text["ori_input_ids"])
+            captions.append(cand["captions"])
             images.append(load_image(os.path.join(self.image_root, cand["img_name"]),
                                      cfg.input_size))
             info.append({"img_name": cand["img_name"], "prod_caption": cand["captions"]})
+        # clean ids only (no masking): tokenizer.encode == process_caption's
+        # ori_input_ids with word_mask_rate=0 (tests/test_data.py pins it).
+        # The 101-caption bundle is exactly the C++ batch tokenizer's shape
+        # (native/mvlt_native.cc mvlt_encode_batch) — one native call per
+        # bundle instead of 101 Python round-trips.
+        if hasattr(self.tokenizer, "encode_batch"):
+            ids = self.tokenizer.encode_batch(captions, cfg.num_text_tokens)
+        else:
+            ids = np.stack([np.asarray(self.tokenizer.encode(t, cfg.num_text_tokens),
+                                       np.int32) for t in captions])
         return {
             "images_101": np.stack(images),
-            "ori_input_ids_101": np.stack(ids),
+            "ori_input_ids_101": np.asarray(ids, np.int32),
             "info_list": info,
         }
 

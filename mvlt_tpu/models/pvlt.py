@@ -316,6 +316,7 @@ class Block(nn.Module):
     fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
     fused_attn_train: bool = False  # ModelConfig.fused_attn_train
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
+    head_pair: bool = False    # ModelConfig.head_pair_attn: hp2 stripes ('full')
     dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
     pack2: bool = False        # ModelConfig.pack_stage1: stream packed 2 tokens/row
     v2_full: bool = False      # v2 whole-stage fused serving (lane-padded stream)
@@ -550,7 +551,7 @@ class Block(nn.Module):
             eps2=self.ln_eps, dim=c, kv_len=kv_len, gelu=self.kernel_gelu,
         )
 
-    def _sr_kv(self, x: jnp.ndarray, hw: tuple):
+    def _sr_kv(self, x: jnp.ndarray, hw: tuple, head_pair: bool = False):
         """K/V for the whole-block kernel with the ENTIRE K/V path fused into
         one Pallas kernel (mvlt_tpu/ops/sr_kv.py): LN1 over the joint stream,
         space-to-depth + SR contraction + SR-LN (sr > 1), text re-concat, and
@@ -574,6 +575,7 @@ class Block(nn.Module):
             ap["kv"]["kernel"], ap["kv"].get("bias"),
             dim=self.dim, hw=hw, t=x.shape[1] - h * w, sr=self.sr_ratio,
             heads=self.num_heads, eps1=self.ln_eps, eps_sr=self.sr_ln_eps,
+            head_pair=head_pair,
         )
 
     def _fused_full_block(self, x: jnp.ndarray, hw: tuple,
@@ -595,7 +597,12 @@ class Block(nn.Module):
         c = self.dim
         nh = self.num_heads
         del kv_normed  # the SR-KV kernel reads the raw stream
-        k, v, kv_len = self._sr_kv(x, hw)
+        # hp2: two 64-wide heads per 128-lane stripe.  The SR-KV producer
+        # emits the paired K/V layout directly (same GEMMs, re-striped
+        # weights) — XLA-side pairing copies measured a 10% serving LOSS
+        # (tools/tpu_hp2_check.py); single-head stages ride pack2 instead.
+        hp2 = self.head_pair and nh >= 2 and (c // nh) <= 64
+        k, v, kv_len = self._sr_kv(x, hw, head_pair=hp2)
         ap = p["attn"]
         mp = p["mlp"]
         return fused_block(
@@ -611,6 +618,7 @@ class Block(nn.Module):
             num_heads=nh, dim=c, kv_len=kv_len,
             eps_next=ln_next[2] if ln_next is not None else None,
             gelu=self.kernel_gelu,
+            head_pair=hp2, kv_paired=hp2,
         )
 
     def _v2_fused_block(self, x: jnp.ndarray, hw: tuple, t_num: int):
@@ -697,7 +705,8 @@ class Block(nn.Module):
         b = xv.shape[0]
         ws = min(self.window_size, h, w)
         s = ws // 2 if self.shift else 0
-        win = max(1, h // 8)           # SwinJointAttention.text_pool default
+        from mvlt_tpu.models.swin import TEXT_POOL
+        win = max(1, h // TEXT_POOL)   # SwinJointAttention.text_pool
         dtype = xt.dtype
         scale = hd ** -0.5
 
@@ -776,12 +785,13 @@ class Block(nn.Module):
         out_txt = jnp.moveaxis(out_txt, 1, 2).reshape(b, t_num, c)
         xt = xt + dense(out_txt, wp_, bp_)
 
-        # --- text MLP half (same gelu form as the kernel's visual rows) ---
+        # --- text MLP half: exact erf GELU, matching the unfused Swin path
+        # (Mlp, above) bit-for-bit.  This half is XLA-side on a tiny
+        # [B, T, C] tensor, so the VPU-divide cost that justifies
+        # kernel_gelu='tanh' inside the band kernel does not apply here
+        # (VERDICT r4 weak #4; reference GELU form: libs/pvlt.py:58) ---
         hid = dense(ln(xt, p["norm2"]), mp["fc1"]["kernel"], mp["fc1"]["bias"])
-        if self.kernel_gelu == "erf":
-            hid = erf_gelu(hid)
-        else:
-            hid = jax.nn.gelu(hid, approximate=True)
+        hid = erf_gelu(hid)
         xt = xt + dense(hid, mp["fc2"]["kernel"], mp["fc2"]["bias"])
         return out_vis, xt
 
@@ -1101,13 +1111,25 @@ class PVLT(nn.Module):
             # a dividing text-pool window, and 16-sublane-aligned band /
             # pooled row counts (bf16 Mosaic alignment)
             ws_i = min(cfg.window_size, h, w)
-            win_i = max(1, h // 8)
-            swin_full_stage = (
-                swin_full_env and self.sp_mesh is None
-                and ws_i % 2 == 0 and h % ws_i == 0 and w % ws_i == 0
-                and h % win_i == 0 and w % win_i == 0
-                and (ws_i * w) % 16 == 0
-                and (ws_i * (w // win_i)) % 16 == 0)
+            if swin_full_env:
+                from mvlt_tpu.models.swin import TEXT_POOL
+                from mvlt_tpu.ops.swin_band import swin_band_vmem_ok
+                win_i = max(1, h // TEXT_POOL)
+                swin_full_stage = (
+                    self.sp_mesh is None
+                    and ws_i % 2 == 0 and h % ws_i == 0 and w % ws_i == 0
+                    and h % win_i == 0 and w % win_i == 0
+                    and (ws_i * w) % 16 == 0
+                    and (ws_i * (w // win_i)) % 16 == 0
+                    # VMEM pre-flight (shared with the kernel's own check):
+                    # oversized shapes fall back instead of raising (ADVICE r4)
+                    and swin_band_vmem_ok(
+                        hw=(h, w), ws=ws_i, win=win_i, dim=dim,
+                        num_heads=cfg.num_heads[i],
+                        hidden=int(dim * cfg.mlp_ratios[i]), t_num=t_num,
+                        itemsize=jnp.dtype(dtype).itemsize))
+            else:
+                swin_full_stage = False
             if swin_full_stage:
                 xv = x + pos_embed
                 if d_pad != dim:
@@ -1182,6 +1204,7 @@ class PVLT(nn.Module):
                     fused_mlp_train=cfg.fused_mlp_train,
                     fused_attn_train=cfg.fused_attn_train,
                     kernel_gelu=cfg.kernel_gelu,
+                    head_pair=cfg.head_pair_attn,
                     dwconv_kernel=cfg.dwconv_mlp_kernel,
                     pack2=pack2,
                     v2_full=v2_full_stage,

@@ -74,6 +74,13 @@ def relative_position_index(wsize: int) -> np.ndarray:
     return (rel[0] * (2 * wsize - 1) + rel[1]).astype(np.int32)
 
 
+# text-query pooling divisor: pooled-KV window = max(1, h // TEXT_POOL).
+# Single source of truth — PVLT's swin stage gate and the fused band path
+# derive their pooling window from this too (ADVICE r4: a config change
+# here must not silently desync the band kernel's pooled KV).
+TEXT_POOL = 8
+
+
 class SwinJointAttention(nn.Module):
     """Windowed visual attention with global text KV + pooled-KV text queries."""
 
@@ -83,7 +90,7 @@ class SwinJointAttention(nn.Module):
     shift: bool = False
     qkv_bias: bool = True
     proj_drop: float = 0.0
-    text_pool: int = 8
+    text_pool: int = TEXT_POOL
     use_pallas: bool = False   # fused windowed-attention kernel (serving)
     dtype: jnp.dtype = jnp.float32
 

@@ -260,8 +260,15 @@ def _prep(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, num_heads,
                  + 2 * h * m_pad * hd_pad * (2 + 4))
         budget = max(2 * 1024 * 1024, 13 * 1024 * 1024 - fixed)
     else:
-        per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 10
-        budget = 13 * 1024 * 1024
+        # dtype-dependent terms sized from itemsize (ADVICE r4): at bf16
+        # (esz=2) this reproduces the measured 13 MB plan bit-for-bit; an
+        # fp32 stream sees its true 2x live bytes (q/out stripes, x/out
+        # tiles, K/V + weight blocks) instead of the old undercount, whose
+        # overflow mode is an opaque tpu_compile_helper HTTP 500.
+        esz = dtype.itemsize
+        per_row = m_pad * 4 + h * hd_pad * 2 * esz + d_pad * (6 + 2 * esz)
+        fixed = (2 * d_pad * h * hd_pad + 2 * h * m_pad * hd_pad) * (esz - 2)
+        budget = max(2 * 1024 * 1024, 13 * 1024 * 1024 - max(0, fixed))
     cap = max(256, budget // per_row // 8 * 8)
     num_tiles = max(1, -(-n // cap))
     tile = _round_up(-(-n // num_tiles), 128)
@@ -495,9 +502,14 @@ def fused_block_attention_padded(x: jax.Array, k: jax.Array, v: jax.Array,
     be2 = jnp.zeros((1, d_pad), jnp.float32).at[0, :dim].set(
         ln_bias.astype(jnp.float32))
 
-    # row-tile plan (same VMEM model as _prep's forward branch)
-    per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 10
-    cap = max(256, 13 * 1024 * 1024 // per_row // 8 * 8)
+    # row-tile plan (same VMEM model as _prep's forward branch, dtype-sized
+    # from itemsize — ADVICE r4: identical to the measured bf16 plan at
+    # esz=2, true 2x live bytes for an fp32 stream)
+    esz = dtype.itemsize
+    per_row = m_pad * 4 + h * hd_pad * 2 * esz + d_pad * (6 + 2 * esz)
+    fixed = (2 * d_pad * h * hd_pad + 2 * h * m_pad * hd_pad) * (esz - 2)
+    budget = max(2 * 1024 * 1024, 13 * 1024 * 1024 - max(0, fixed))
+    cap = max(256, budget // per_row // 8 * 8)
     num_tiles = max(1, -(-n // cap))
     tile = _round_up(-(-n // num_tiles), 128)
     n_pad = _round_up(n, tile)

@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvlt_tpu.ops.kernel_math import (gelu as _gelu, one_pass_ln as _masked_ln,
-                                      round_up as _round_up, softmax_av)
+                                      round_up as _round_up, softmax_av,
+                                      softmax_av_pair)
 
 
 # scoped-VMEM budget for tile sizing (bytes); module-level so benches can
@@ -49,12 +50,19 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
             o_ref, on_ref,
             *, scale: float, eps1: float, eps2: float, dim: int,
             kv_len: int, num_heads: int, emit_next: bool,
-            eps_next: float = 0.0, gelu: str = "tanh"):
+            eps_next: float = 0.0, gelu: str = "tanh",
+            head_pair: bool = False, kv_rows: int = 0):
     """x_ref/o_ref: [1, TILE, D_pad]; k_ref/v_ref: [1, H, M_pad, 128];
     wq_ref: [D_pad, H*128]; wp_ref: [H*128, D_pad]; w1_ref: [D_pad, Hid_pad];
     w2_ref: [Hid_pad, D_pad].  With emit_next, on_ref additionally receives
     LN(out) under (gn, ben) — the NEXT block's norm1 — so its XLA K/V path
-    skips the full-stream LayerNorm (PVLT threads it through the stage)."""
+    skips the full-stream LayerNorm (PVLT threads it through the stage).
+
+    head_pair (hp2): TWO 64-wide heads share each 128-lane stripe — k_ref/
+    v_ref become [1, ceil(H/2), 2*M_pad, 128] (kv_rows = 2*M_pad) in the
+    softmax_av_pair layout, and wq/wp carry ceil(H/2) stripes.  Halves the
+    Q/out-projection MXU work and the q/attn VPU element count at every
+    hd<=64 multi-head stage (stages 2-4 of every shipped v1 config)."""
     x = x_ref[0]
     xf = x.astype(jnp.float32)
 
@@ -68,11 +76,21 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
     ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
 
     outs = []
-    for h in range(num_heads):
-        q_h = q_all[:, h * 128:(h + 1) * 128]
-        outs.append(softmax_av(q_h, k_ref[0, h], v_ref[0, h],
-                               scale=scale, kv_len=kv_len, out_dtype=x.dtype))
-    attn_out = jnp.concatenate(outs, axis=-1) if num_heads > 1 else outs[0]
+    if head_pair:
+        n_str = (num_heads + 1) // 2
+        for s in range(n_str):
+            q_s = q_all[:, s * 128:(s + 1) * 128]
+            outs.append(softmax_av_pair(
+                q_s, k_ref[0, s], v_ref[0, s], scale=scale, kv_len=kv_len,
+                m_pad=kv_rows // 2, out_dtype=x.dtype))
+    else:
+        n_str = num_heads
+        for h in range(num_heads):
+            q_h = q_all[:, h * 128:(h + 1) * 128]
+            outs.append(softmax_av(q_h, k_ref[0, h], v_ref[0, h],
+                                   scale=scale, kv_len=kv_len,
+                                   out_dtype=x.dtype))
+    attn_out = jnp.concatenate(outs, axis=-1) if n_str > 1 else outs[0]
 
     y = jax.lax.dot_general(
         attn_out, wp_ref[:],
@@ -107,7 +125,8 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref,
 
 @functools.partial(jax.jit, static_argnames=("scale", "eps1", "eps2",
                                               "num_heads", "dim", "kv_len",
-                                              "eps_next", "gelu"))
+                                              "eps_next", "gelu",
+                                              "head_pair", "kv_paired"))
 def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 ln1_scale: jax.Array, ln1_bias: jax.Array,
                 wq: jax.Array, bq: jax.Array,
@@ -119,7 +138,8 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
                 *, scale: float, eps1: float, eps2: float,
                 num_heads: int, dim: int | None = None,
                 kv_len: int | None = None,
-                eps_next: float | None = None, gelu: str = "tanh"):
+                eps_next: float | None = None, gelu: str = "tanh",
+                head_pair: bool = False, kv_paired: bool = False):
     """One full transformer block on a (possibly lane-padded) stream.
 
     x: [B, N, D_any] with true feature width `dim` (default D_any) — pass a
@@ -139,29 +159,54 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
     h = num_heads
     hd = dim // h
     m = kv_len if kv_len is not None else k.shape[2]
-    assert k.shape[1] == h and k.shape[3] in (hd, 128)
+    if not kv_paired:
+        assert k.shape[1] == h and k.shape[3] in (hd, 128)
 
     d_pad = _round_up(dim, 128)
     hd_pad = 128
     m_pad = _round_up(m, 128)
-    assert k.shape[2] in (m, m_pad)
+    assert k.shape[2] in ((2 * m_pad,) if kv_paired else (m, m_pad))
     hidden = w1.shape[1]
     hid_pad = _round_up(hidden, 128)
 
     dtype = x.dtype
-    # expand Wq into per-head 128-lane stripes
-    wq = wq.astype(dtype).reshape(dim, h, hd)
-    wq2 = jnp.zeros((d_pad, h, hd_pad), dtype)
-    wq2 = wq2.at[:dim, :, :hd].set(wq)
-    wq2 = wq2.reshape(d_pad, h * hd_pad)
-    bq2 = jnp.zeros((h, hd_pad), jnp.float32).at[:, :hd].set(
-        bq.astype(jnp.float32).reshape(h, hd)).reshape(1, h * hd_pad)
-    # expand Wp with matching zero rows (zero columns beyond dim keep the
-    # padded lanes of the residual at 0)
-    wp = wp.astype(dtype).reshape(h, hd, dim)
-    wp2 = jnp.zeros((h, hd_pad, d_pad), dtype)
-    wp2 = wp2.at[:, :hd, :dim].set(wp)
-    wp2 = wp2.reshape(h * hd_pad, d_pad)
+    if head_pair and (hd > 64 or h < 2):
+        raise ValueError(f"head_pair needs head_dim <= 64 and >= 2 heads "
+                         f"(got hd={hd}, heads={h})")
+    n_str = (h + 1) // 2 if head_pair else h   # 128-lane stripes
+    if head_pair:
+        # hp2: heads 2s and 2s+1 share stripe s — head A in lanes [0, hd),
+        # head B in [64, 64+hd).  The Q GEMM and out-proj GEMM then run on
+        # ceil(H/2)*128 lanes instead of H*128 (half the MXU work at hd=64).
+        wq = wq.astype(dtype).reshape(dim, h, hd)
+        wq2 = jnp.zeros((d_pad, n_str, 128), dtype)
+        wq2 = wq2.at[:dim, :, :hd].set(wq[:, 0::2])
+        wq2 = wq2.at[:dim, :h // 2, 64:64 + hd].set(wq[:, 1::2])
+        wq2 = wq2.reshape(d_pad, n_str * 128)
+        bqh = bq.astype(jnp.float32).reshape(h, hd)
+        bq2 = jnp.zeros((n_str, 128), jnp.float32)
+        bq2 = bq2.at[:, :hd].set(bqh[0::2])
+        bq2 = bq2.at[:h // 2, 64:64 + hd].set(bqh[1::2])
+        bq2 = bq2.reshape(1, n_str * 128)
+        wp = wp.astype(dtype).reshape(h, hd, dim)
+        wp2 = jnp.zeros((n_str, 128, d_pad), dtype)
+        wp2 = wp2.at[:, :hd, :dim].set(wp[0::2])
+        wp2 = wp2.at[:h // 2, 64:64 + hd, :dim].set(wp[1::2])
+        wp2 = wp2.reshape(n_str * 128, d_pad)
+    else:
+        # expand Wq into per-head 128-lane stripes
+        wq = wq.astype(dtype).reshape(dim, h, hd)
+        wq2 = jnp.zeros((d_pad, h, hd_pad), dtype)
+        wq2 = wq2.at[:dim, :, :hd].set(wq)
+        wq2 = wq2.reshape(d_pad, h * hd_pad)
+        bq2 = jnp.zeros((h, hd_pad), jnp.float32).at[:, :hd].set(
+            bq.astype(jnp.float32).reshape(h, hd)).reshape(1, h * hd_pad)
+        # expand Wp with matching zero rows (zero columns beyond dim keep the
+        # padded lanes of the residual at 0)
+        wp = wp.astype(dtype).reshape(h, hd, dim)
+        wp2 = jnp.zeros((h, hd_pad, d_pad), dtype)
+        wp2 = wp2.at[:, :hd, :dim].set(wp)
+        wp2 = wp2.reshape(h * hd_pad, d_pad)
 
     def vec(a, width):
         out = jnp.zeros((1, width), jnp.float32)
@@ -179,12 +224,35 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
 
     kp = k.astype(dtype)
     vp = v.astype(dtype)
-    if k.shape[3] != hd_pad:
-        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
-        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
-    if kp.shape[2] != m_pad:
-        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, m_pad - kp.shape[2]), (0, 0)))
-        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, m_pad - vp.shape[2]), (0, 0)))
+    kv_rows = 2 * m_pad if head_pair else m_pad
+    if kv_paired:
+        # producer (ops/sr_kv.py head_pair=True) already emitted the paired
+        # layout — zero re-layout glue on this path
+        assert head_pair, "kv_paired layout requires head_pair"
+        assert kp.shape == (b, n_str, kv_rows, 128), (kp.shape, n_str, kv_rows)
+    else:
+        if k.shape[3] != hd_pad:
+            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+            vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+        if kp.shape[2] != m_pad:
+            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, m_pad - kp.shape[2]), (0, 0)))
+            vp = jnp.pad(vp, ((0, 0), (0, 0), (0, m_pad - vp.shape[2]), (0, 0)))
+
+        if head_pair:
+            # pair K/V in XLA: stripe s = [head 2s rows (lanes 0:hd) ; head
+            # 2s+1 rows shifted to lanes 64:64+hd].  NB: these per-block
+            # copies measured a 10% serving LOSS at B=101 (tools/
+            # tpu_hp2_check.py) — production rides the kv_paired producer
+            # path; this branch exists for parity tests / ad-hoc K/V.
+            def _pair(a):
+                if h % 2:
+                    a = jnp.pad(a, ((0, 0), (0, 1), (0, 0), (0, 0)))
+                lo = a[:, 0::2]
+                hi = a[:, 1::2, :, :64]
+                hi = jnp.concatenate([jnp.zeros_like(hi), hi], axis=-1)
+                return jnp.concatenate([lo, hi], axis=2)
+
+            kp, vp = _pair(kp), _pair(vp)
 
     # Row tiling under the scoped-VMEM budget.  Fixed blocks (weights + KV,
     # broadcast to every step) come off the top; per-row fp32/bf16 live set:
@@ -192,9 +260,9 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
     # incl. double-buffered in/out tiles), fp32 logits on m_pad, fp32+bf16
     # hidden on hid_pad.
     emit_next = ln_next is not None
-    fixed = (2 * d_pad * h * hd_pad + 2 * d_pad * hid_pad
-             + 2 * h * m_pad * hd_pad) * 2
-    per_row = m_pad * 4 + h * hd_pad * 4 + d_pad * 26 + hid_pad * 6
+    fixed = (2 * d_pad * n_str * 128 + 2 * d_pad * hid_pad
+             + 2 * n_str * kv_rows * 128) * 2
+    per_row = kv_rows * 4 + n_str * 128 * 4 + d_pad * 26 + hid_pad * 6
     if emit_next:
         per_row += d_pad * 4  # second (double-buffered bf16) output tile
     cap = max(64, (_VMEM_BUDGET - fixed) // per_row // 16 * 16)
@@ -221,6 +289,7 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         kernel_fn = functools.partial(
             _kernel, scale=scale, eps1=eps1, eps2=eps2,
             dim=dim, kv_len=m, num_heads=h, emit_next=True, gelu=gelu,
+            head_pair=head_pair, kv_rows=kv_rows,
             # the NEXT block's LN1 epsilon — defaults to this block's eps1
             # but is passed explicitly by PVLT so per-block eps divergence
             # can't silently corrupt the handoff
@@ -233,7 +302,7 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
             # single output: pad the missing on_ref slot
             _kernel(*refs, None, scale=scale, eps1=eps1, eps2=eps2,
                     dim=dim, kv_len=m, num_heads=h, emit_next=False,
-                    gelu=gelu)
+                    gelu=gelu, head_pair=head_pair, kv_rows=kv_rows)
 
     stream_spec = pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
@@ -243,11 +312,11 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h * hd_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_str, kv_rows, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_str, kv_rows, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, n_str * 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_str * 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_str * 128, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -268,16 +337,17 @@ def fused_block(x: jax.Array, k: jax.Array, v: jax.Array,
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * (d_pad * h * hd_pad * 2 + h * m_pad * hd_pad * 2
+            flops=2 * b * n * (d_pad * n_str * 128 * 2
+                               + n_str * kv_rows * 128 * 2
                                + d_pad * hid_pad * 2),
             # residual-stream read+write(s) + per-batch K/V broadcast (the
             # K/V block re-DMAs when the grid's batch index advances; it
             # dominates at small tiles) + one pass over the weight blocks
             bytes_accessed=(
                 (3 if emit_next else 2) * b * n_pad * d_pad * x.dtype.itemsize
-                + b * 2 * h * m_pad * hd_pad * x.dtype.itemsize
-                + (2 * d_pad * h * hd_pad + 2 * d_pad * hid_pad) * x.dtype.itemsize),
-            transcendentals=b * n * (h * m_pad + hid_pad),
+                + b * 2 * n_str * kv_rows * 128 * x.dtype.itemsize
+                + (2 * d_pad * n_str * 128 + 2 * d_pad * hid_pad) * x.dtype.itemsize),
+            transcendentals=b * n * (n_str * kv_rows + hid_pad),
         ),
     )(xp, kp, vp, wq2, bq2, wp2, bp2, g1, be1, g2, be2, w1p, b1p, w2p, b2p,
       gn, ben)

@@ -127,8 +127,10 @@ def fused_dwconv_mlp(x: jax.Array,
     # fp32 hid chunk + fp32 conv acc + padded bf16 image + bf16 act on
     # [N_pad(~h*w)] rows, plus the fp32 [N_pad, C_pad] accumulator and the
     # in/out stream blocks
-    fixed = (2 * n * c_pad) * 2 + n * c_pad * 4 + 2 * c_pad * hid_pad * 2
-    per_ch = n * 4 + h * w * 4 + (h + 2) * (w + 2) * 2 + n * 2
+    # dtype-sized from itemsize (ADVICE r4); bf16 (esz=2) plan unchanged
+    esz = dtype.itemsize
+    fixed = (2 * n * c_pad) * esz + n * c_pad * 4 + 2 * c_pad * hid_pad * esz
+    per_ch = n * 4 + h * w * 4 + (h + 2) * (w + 2) * esz + n * esz
     ch = max(128, (_VMEM_BUDGET - fixed) // per_ch // 128 * 128)
     ch = min(ch, hid_pad)
     while hid_pad % ch:

@@ -123,6 +123,50 @@ def half_average_matrix(dim: int = 64, d_pad: int = 128) -> jax.Array:
     return jnp.where((i // dim) == (j // dim), 1.0 / dim, 0.0).astype(jnp.float32)
 
 
+def softmax_av_pair(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array, *,
+                    scale: float, kv_len: int, m_pad: int,
+                    out_dtype) -> jax.Array:
+    """Joint attention for a HEAD PAIR sharing one 128-lane stripe (head A
+    in lanes 0:64, head B in lanes 64:128 — the hp2 layout,
+    ops/block_fused.py).
+
+    k_p/v_p: [2*m_pad, 128] with head A's KV rows in rows 0:m_pad (values
+    in lanes 0:64, rest zero) and head B's in rows m_pad:2*m_pad (values in
+    lanes 64:128).  One [rows,128]@[128,2M] matmul computes BOTH heads'
+    logits side by side — for each K row only its own head's lanes are
+    nonzero, so the full-lane contraction is exact — and one
+    [rows,2M]@[2M,128] P@V lands each head's output in its own lane half
+    (the other half's V lanes are zero).  Each half normalizes by its OWN
+    softmax sum; a single global row max is used for the exp2 shift
+    (softmax is shift-invariant per half, so this is exact; worst case a
+    cold half loses a few mantissa bits, well under bf16 output noise).
+
+    A dummy hi half (odd head count: K/V rows all-zero) yields uniform
+    probs against all-zero V -> exact zeros in lanes 64:128; it must NOT be
+    -inf-masked (an empty softmax would produce NaN via 0/0)."""
+    logits = jax.lax.dot_general(
+        q_p, k_p,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * LOG2E)                                # [rows, 2*m_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    if kv_len < m_pad:
+        logits = jnp.where(col % m_pad < kv_len, logits, -jnp.inf)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)  # global (shared) max
+    unnorm = jnp.exp2(logits - row_max)
+    is_lo = col < m_pad
+    sum_a = jnp.sum(jnp.where(is_lo, unnorm, 0.0), axis=-1, keepdims=True)
+    sum_b = jnp.sum(jnp.where(is_lo, 0.0, unnorm), axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        unnorm.astype(v_p.dtype), v_p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [rows, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    out = out / jnp.where(lane < 64, sum_a, sum_b)
+    return out.astype(out_dtype)
+
+
 def softmax_av(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
                scale: float, kv_len: int, out_dtype) -> jax.Array:
     """softmax(q k^T * scale) @ v for one head, VPU-lean form:

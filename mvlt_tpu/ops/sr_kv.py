@@ -48,16 +48,25 @@ from mvlt_tpu.ops.kernel_math import one_pass_ln, round_up
 def _kv_kernel(x_ref, g1_ref, b1_ref, w_ref, bs_ref, gs_ref, bsn_ref,
                wk_ref, bk_ref, wv_ref, bv_ref, k_ref, v_ref,
                lhs_ref, kv_ref, *, dim: int, hw: tuple, t: int, sr: int,
-               heads: int, eps1: float, eps_sr: float):
+               heads: int, eps1: float, eps_sr: float,
+               head_pair: bool = False):
     """The ENTIRE K/V path of one block in one grid step: LN1 over the full
     joint stream (visual + text rows at once), space-to-depth + SR GEMM +
     SR-LN on the visual rows (sr > 1), VMEM re-concat with the text tail,
     and the K/V projections emitted per-head-stripe in the whole-block
     kernel's [H, M_pad, 128] layout.  sr == 1 skips the SR contraction and
-    projects the normed stream directly (stage 4)."""
+    projects the normed stream directly (stage 4).
+
+    head_pair: emit the hp2 PAIRED layout [ceil(H/2), 2*M_pad, 128] instead
+    (ops/kernel_math.softmax_av_pair): stripe s rows 0:M_pad carry head 2s
+    in lanes 0:hd, rows M_pad:2*M_pad carry head 2s+1 in lanes 64:64+hd.
+    wk/wv arrive pre-paired [d_pad, 2*P*128] (lo stripes then hi stripes) so
+    the SAME two GEMMs produce both sections — zero downstream re-layout
+    glue (the XLA-side pairing copies measured a 10% serving LOSS before
+    this; tools/tpu_hp2_check.py)."""
     h, w = hw
     d_pad = x_ref.shape[-1]
-    m_pad = k_ref.shape[2]
+    m_pad = k_ref.shape[2] // 2 if head_pair else k_ref.shape[2]
     dtype = k_ref.dtype
 
     xf = x_ref[0].astype(jnp.float32)                       # (h*w + t, d_pad)
@@ -102,9 +111,19 @@ def _kv_kernel(x_ref, g1_ref, b1_ref, w_ref, bs_ref, gs_ref, bsn_ref,
     ) + bv_ref[0].astype(jnp.float32)
     # NB: the zeroed pad ROWS of kv_ref land at bias value after + bk/bv —
     # consumers must mask logits at col >= kv_len (always true on this path)
-    for hh in range(heads):
-        k_ref[0, hh] = kf[:, hh * 128:(hh + 1) * 128].astype(dtype)
-        v_ref[0, hh] = vf[:, hh * 128:(hh + 1) * 128].astype(dtype)
+    if head_pair:
+        n_str = (heads + 1) // 2
+        for s in range(n_str):
+            k_ref[0, s, :m_pad] = kf[:, s * 128:(s + 1) * 128].astype(dtype)
+            k_ref[0, s, m_pad:] = kf[:, (n_str + s) * 128:
+                                     (n_str + s + 1) * 128].astype(dtype)
+            v_ref[0, s, :m_pad] = vf[:, s * 128:(s + 1) * 128].astype(dtype)
+            v_ref[0, s, m_pad:] = vf[:, (n_str + s) * 128:
+                                     (n_str + s + 1) * 128].astype(dtype)
+    else:
+        for hh in range(heads):
+            k_ref[0, hh] = kf[:, hh * 128:(hh + 1) * 128].astype(dtype)
+            v_ref[0, hh] = vf[:, hh * 128:(hh + 1) * 128].astype(dtype)
 
 
 def fused_ln_sr_kv(x: jax.Array,
@@ -112,13 +131,15 @@ def fused_ln_sr_kv(x: jax.Array,
                    sr_kernel, sr_bias, srn_scale, srn_bias,
                    kv_kernel: jax.Array, kv_bias,
                    *, dim: int, hw: tuple, t: int, sr: int, heads: int,
-                   eps1: float, eps_sr: float):
+                   eps1: float, eps_sr: float, head_pair: bool = False):
     """K and V for one block straight from the raw lane-padded stream:
     LN1 + (space-to-depth + SR contraction + SR-LN, when sr > 1) + text-tail
     re-concat + K/V projections, all in one Pallas kernel.  Returns
     (k, v, kv_len) with k/v in the whole-block kernel's padded layout
     [B, heads, round_up(M, 128), 128] (pad rows bias-valued — downstream
-    must mask at col >= kv_len; pad head-dim lanes zero).
+    must mask at col >= kv_len; pad head-dim lanes zero); with head_pair,
+    the hp2 paired layout [B, ceil(heads/2), 2*round_up(M, 128), 128]
+    consumed by fused_block(head_pair=True, kv_paired=True).
 
     x: [B, h*w + t, d_pad] lane-padded joint stream (pad lanes zero).
     sr_kernel: [sr, sr, dim, dim] HWIO (None when sr == 1).
@@ -146,37 +167,64 @@ def fused_ln_sr_kv(x: jax.Array,
         srn_scale = jnp.ones((dim,), jnp.float32)
         srn_bias = jnp.zeros((dim,), jnp.float32)
 
-    # per-head 128-lane stripes with zero-padded input rows (stream pad
-    # lanes) and zero-padded head-dim columns (pvlt.py _xla_kv padded_out)
-    def stripes(wm):                                   # [dim, dim] -> padded
-        out = jnp.zeros((d_pad, heads, 128), dtype)
-        return out.at[:dim, :, :hd].set(
-            wm.astype(dtype).reshape(dim, heads, hd)).reshape(d_pad,
-                                                              heads * 128)
+    n_str = (heads + 1) // 2 if head_pair else heads
+    w_cols = (2 * n_str if head_pair else heads) * 128
 
-    wk = stripes(kv_kernel[:, :dim])
-    wv = stripes(kv_kernel[:, dim:])
-    if kv_bias is not None:
+    if head_pair:
+        # hp2 pre-paired weights [d_pad, 2*P*128]: columns [0, P*128) are
+        # the LO stripes (head 2s at lanes 0:hd of stripe s) and columns
+        # [P*128, 2*P*128) the HI stripes (head 2s+1 at lanes 64:64+hd) —
+        # the kernel writes lo stripes to rows 0:M_pad and hi stripes to
+        # rows M_pad:2*M_pad of the paired output
+        def stripes(wm):
+            wm = wm.astype(dtype).reshape(dim, heads, hd)
+            out = jnp.zeros((d_pad, 2 * n_str, 128), dtype)
+            out = out.at[:dim, :n_str, :hd].set(wm[:, 0::2])
+            out = out.at[:dim, n_str:n_str + heads // 2, 64:64 + hd].set(
+                wm[:, 1::2])
+            return out.reshape(d_pad, w_cols)
+
+        def bstripe(bm):
+            bm = bm.astype(jnp.float32).reshape(heads, hd)
+            out = jnp.zeros((1, 2 * n_str, 128), jnp.float32)
+            out = out.at[0, :n_str, :hd].set(bm[0::2])
+            out = out.at[0, n_str:n_str + heads // 2, 64:64 + hd].set(bm[1::2])
+            return out.reshape(1, w_cols)
+    else:
+        # per-head 128-lane stripes with zero-padded input rows (stream pad
+        # lanes) and zero-padded head-dim columns (pvlt.py _xla_kv padded_out)
+        def stripes(wm):                               # [dim, dim] -> padded
+            out = jnp.zeros((d_pad, heads, 128), dtype)
+            return out.at[:dim, :, :hd].set(
+                wm.astype(dtype).reshape(dim, heads, hd)).reshape(d_pad,
+                                                                  heads * 128)
+
         def bstripe(bm):
             out = jnp.zeros((1, heads, 128), jnp.float32)
             return out.at[0, :, :hd].set(
                 bm.astype(jnp.float32).reshape(heads, hd)).reshape(
                     1, heads * 128)
+
+    wk = stripes(kv_kernel[:, :dim])
+    wv = stripes(kv_kernel[:, dim:])
+    if kv_bias is not None:
         bk, bv = bstripe(kv_bias[:dim]), bstripe(kv_bias[dim:])
     else:
-        bk = bv = jnp.zeros((1, heads * 128), jnp.float32)
+        bk = bv = jnp.zeros((1, w_cols), jnp.float32)
 
     def vec(a):
         out = jnp.zeros((1, d_pad), jnp.float32)
         return out.at[0, :a.shape[0]].set(a.astype(jnp.float32))
 
+    out_rows = 2 * m_pad if head_pair else m_pad
     vspec = pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec((1, heads * 128), lambda i: (0, 0),
+    hspec = pl.BlockSpec((1, w_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    kv_shape = jax.ShapeDtypeStruct((b, heads, m_pad, 128), dtype)
+    kv_shape = jax.ShapeDtypeStruct((b, n_str, out_rows, 128), dtype)
     k, v = pl.pallas_call(
         functools.partial(_kv_kernel, dim=dim, hw=hw, t=t, sr=sr,
-                          heads=heads, eps1=eps1, eps_sr=eps_sr),
+                          heads=heads, eps1=eps1, eps_sr=eps_sr,
+                          head_pair=head_pair),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, d_pad), lambda i: (i, 0, 0),
@@ -184,17 +232,17 @@ def fused_ln_sr_kv(x: jax.Array,
             vspec, vspec,
             pl.BlockSpec(wf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             vspec, vspec, vspec,
-            pl.BlockSpec((d_pad, heads * 128), lambda i: (0, 0),
+            pl.BlockSpec((d_pad, w_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             hspec,
-            pl.BlockSpec((d_pad, heads * 128), lambda i: (0, 0),
+            pl.BlockSpec((d_pad, w_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             hspec,
         ],
         out_specs=[
-            pl.BlockSpec((1, heads, m_pad, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_str, out_rows, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads, m_pad, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_str, out_rows, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[kv_shape, kv_shape],
@@ -207,10 +255,10 @@ def fused_ln_sr_kv(x: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * b * p * sr * sr * d_pad * d_pad if sr > 1 else 0)
-            + 2 * 2 * b * m_pad * d_pad * heads * 128,
+            + 2 * 2 * b * m_pad * d_pad * w_cols,
             bytes_accessed=(b * n * d_pad * x.dtype.itemsize
-                            + 2 * b * heads * m_pad * 128 * x.dtype.itemsize
-                            + (wf.size + 2 * d_pad * heads * 128)
+                            + 2 * b * n_str * out_rows * 128 * x.dtype.itemsize
+                            + (wf.size + 2 * d_pad * w_cols)
                             * x.dtype.itemsize),
             transcendentals=0,
         ),

@@ -62,6 +62,40 @@ from mvlt_tpu.ops.kernel_math import (LOG2E, gelu as _gelu,
 _VMEM_LIMIT = 14 * 1024 * 1024
 
 
+def swin_band_vmem_est(*, hw: tuple, ws: int, win: int, dim: int,
+                       num_heads: int, hidden: int, t_num: int,
+                       itemsize: int) -> int:
+    """Scoped-VMEM byte estimate for one fused_swin_band_block grid step.
+
+    Shared between the kernel's pre-flight check and PVLT's swin_full_stage
+    gate (ADVICE r4: the gate must route oversized shapes to the XLA path
+    instead of letting the kernel raise at trace time).  Must mirror the
+    block/scratch plan in fused_swin_band_block exactly."""
+    h, w = hw
+    d_pad = _round_up(dim, 128)
+    nh = num_heads
+    big_l = ws * w
+    t_pad = _round_up(t_num, 16)   # the caller's stripe_seq pad rule
+    m_pad = _round_up(big_l + t_pad, 128)
+    hid_pad = _round_up(hidden, 128)
+    p_rows = ws * (w // win)
+    fixed = ((3 * d_pad * nh * 128 + nh * 128 * d_pad
+              + d_pad * hid_pad + hid_pad * d_pad) * itemsize
+             + nh * big_l * m_pad * 4          # mask block
+             + 2 * 2 * t_pad * nh * 128 * itemsize
+             + p_rows * big_l * 4)
+    per_row = (m_pad * 8                       # fp32 logits + unnorm
+               + nh * 128 * 3 * itemsize       # q/k/v stripes
+               + d_pad * (8 + 4 * itemsize)    # xf/hres fp32 + x/out tiles
+               + hid_pad * (4 + itemsize))
+    return fixed + big_l * per_row + p_rows * d_pad * 4
+
+
+def swin_band_vmem_ok(**kw) -> bool:
+    """True if the band kernel's per-step live set fits scoped VMEM."""
+    return swin_band_vmem_est(**kw) <= _VMEM_LIMIT
+
+
 @functools.lru_cache(maxsize=None)
 def _band_layout(h: int, w: int, ws: int, shift: bool):
     """numpy window/region/bias layout for one band of windows.
@@ -303,17 +337,12 @@ def fused_swin_band_block(x: jax.Array, kt: jax.Array, vt: jax.Array,
     pm = jnp.asarray(_pool_matrix(w, ws, win))
     p_rows = pm.shape[0]
 
-    # pre-flight scoped-VMEM estimate (sized from itemsize — ADVICE r3)
-    fixed = ((3 * d_pad * nh * 128 + nh * 128 * d_pad
-              + d_pad * hid_pad + hid_pad * d_pad) * itemsize
-             + nh * big_l * m_pad * 4          # mask block
-             + 2 * 2 * t_pad * nh * 128 * itemsize
-             + p_rows * big_l * 4)
-    per_row = (m_pad * 8                       # fp32 logits + unnorm
-               + nh * 128 * 3 * itemsize       # q/k/v stripes
-               + d_pad * (8 + 4 * itemsize)    # xf/hres fp32 + x/out tiles
-               + hid_pad * (4 + itemsize))
-    est = fixed + big_l * per_row + p_rows * d_pad * 4
+    # pre-flight scoped-VMEM estimate (sized from itemsize — ADVICE r3;
+    # shared with PVLT's stage gate via swin_band_vmem_est so oversized
+    # shapes route to the XLA path instead of raising here — ADVICE r4)
+    est = swin_band_vmem_est(hw=hw, ws=ws, win=win, dim=dim,
+                             num_heads=nh, hidden=hidden, t_num=t_pad,
+                             itemsize=itemsize)
     if est > _VMEM_LIMIT:
         raise ValueError(
             f"fused_swin_band_block VMEM estimate {est / 2**20:.1f} MiB > "

@@ -84,6 +84,53 @@ def test_fused_block_matches_xla(rng, n, d, h, m, hidden, gelu):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("n,d,h,m,hidden", [
+    (48, 128, 2, 24, 256),     # stage-2-like: one full pair
+    (32, 320, 5, 20, 640),     # stage-3-like: odd heads (dummy hi half)
+    (32, 512, 8, 24, 1024),    # stage-4-like: four pairs
+])
+def test_fused_block_head_pair_matches_xla(rng, n, d, h, m, hidden):
+    """hp2 (two 64-wide heads per 128-lane stripe, ops/kernel_math.
+    softmax_av_pair) must match the same XLA oracle as the per-head form,
+    including the odd-head-count dummy half."""
+    from mvlt_tpu.ops.block_fused import fused_block
+
+    p = _mk(rng, n, d, h, m, hidden)
+    scale = (d // h) ** -0.5
+    want = _ref_block(p["x"], p["k"], p["v"], p["g1"], p["be1"], p["wq"],
+                      p["bq"], p["wp"], p["bp"], p["g2"], p["be2"], p["w1"],
+                      p["b1"], p["w2"], p["b2"], scale, 1e-6, 1e-6, h)
+    got = _run_interpret(
+        fused_block, p["x"], p["k"], p["v"], p["g1"], p["be1"], p["wq"],
+        p["bq"], p["wp"], p["bp"], p["g2"], p["be2"], p["w1"], p["b1"],
+        p["w2"], p["b2"], scale=scale, eps1=1e-6, eps2=1e-6, num_heads=h,
+        gelu="erf", head_pair=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_head_pair_padded_stream(rng):
+    """hp2 on a lane-padded stream (the stage-3 320->384 case): live lanes
+    match the unpadded hp2 run, pad lanes stay exactly zero."""
+    from mvlt_tpu.ops.block_fused import fused_block
+
+    n, d, h, m, hidden = 32, 320, 5, 20, 640
+    p = _mk(rng, n, d, h, m, hidden)
+    scale = (d // h) ** -0.5
+    kw = dict(scale=scale, eps1=1e-6, eps2=1e-6, num_heads=h, head_pair=True)
+    args = (p["k"], p["v"], p["g1"], p["be1"], p["wq"], p["bq"], p["wp"],
+            p["bp"], p["g2"], p["be2"], p["w1"], p["b1"], p["w2"], p["b2"])
+
+    base = _run_interpret(fused_block, p["x"], *args, **kw)
+    xp = jnp.pad(p["x"], ((0, 0), (0, 0), (0, 384 - d)))
+    padded = _run_interpret(fused_block, xp, *args, dim=d, **kw)
+
+    assert padded.shape == (p["x"].shape[0], n, 384)
+    np.testing.assert_allclose(np.asarray(padded[..., :d]),
+                               np.asarray(base), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(padded[..., d:]), 0.0)
+
+
 def test_fused_block_padded_stream(rng):
     """The lane-padded contract: feeding [B, N, 128] with dim=64 (zeros in
     the pad lanes) must produce the same values in the live lanes and keep

@@ -112,6 +112,12 @@ def test_process_caption_contract():
     # zero rate -> ids identical
     r2 = process_caption("long sleeve shirt", tok, 32, 0.0, rng)
     np.testing.assert_array_equal(r2["input_ids"], r2["ori_input_ids"])
+    # tokenizer.encode must equal process_caption's clean ids exactly — the
+    # retrieval bundle reader relies on this to batch-tokenize 101 captions
+    # per bundle through the C++ encode_batch path (fashion_gen.py)
+    np.testing.assert_array_equal(
+        np.asarray(tok.encode("long sleeve shirt", 32), np.int32),
+        r2["ori_input_ids"])
 
 
 # --- samplers ----------------------------------------------------------------

@@ -50,6 +50,55 @@ def test_block_sr_kv_matches_xla_kv(dim, heads, sr, hw, t):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("dim,heads,sr,hw,t", [
+    (128, 2, 4, (8, 8), 12),      # stage-2-like: one full pair
+    (320, 5, 2, (8, 8), 12),      # stage-3-like: odd heads (dummy hi half)
+    (128, 2, 1, (8, 8), 12),      # stage-4-like: sr == 1
+])
+def test_sr_kv_head_pair_layout(dim, heads, sr, hw, t):
+    """head_pair=True must emit exactly the hp2 paired re-layout of the
+    unpaired output: stripe s rows 0:M_pad = head 2s (lanes 0:hd), rows
+    M_pad:2*M_pad = head 2s+1 shifted to lanes 64:64+hd (zeros for the odd
+    tail) — the contract fused_block(kv_paired=True) consumes."""
+    from mvlt_tpu.models.pvlt import Block
+
+    rng = np.random.default_rng(3)
+    h, w = hw
+    n = h * w + t
+    hd = dim // heads
+    d_pad = -(-dim // 128) * 128
+    block = Block(dim=dim, num_heads=heads, mlp_ratio=4.0, sr_ratio=sr,
+                  qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+                  ln_eps=1e-6, sr_ln_eps=1e-5,
+                  use_pallas=False, dtype=jnp.float32)
+    x_init = jnp.asarray(rng.normal(size=(2, n, dim)), jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x_init, hw, t)
+    xp = jnp.pad(x_init, ((0, 0), (0, 0), (0, d_pad - dim)))
+
+    k0, v0, m0 = _run_interpret(
+        block.apply, variables, xp, hw, method=Block._sr_kv)
+    kp, vp, mp = _run_interpret(
+        block.apply, variables, xp, hw, True, method=Block._sr_kv)
+    assert mp == m0
+    n_str = (heads + 1) // 2
+    m_pad = k0.shape[2]
+    assert kp.shape == (2, n_str, 2 * m_pad, 128)
+
+    def paired_of(a):
+        a = np.asarray(a)
+        if heads % 2:
+            a = np.concatenate([a, np.zeros_like(a[:, :1])], axis=1)
+        lo = a[:, 0::2]
+        hi = np.zeros_like(lo)
+        hi[..., 64:64 + hd] = a[:, 1::2, :, :hd]
+        return np.concatenate([lo, hi], axis=2)
+
+    np.testing.assert_allclose(np.asarray(kp), paired_of(k0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp), paired_of(v0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def reference_kv(params, x, hw, t, *, dim, heads, sr, linear_sr=False,
                  eps1=1e-6, eps_sr=1e-5):
     """The K/V front end written directly from the reference math

@@ -15,7 +15,7 @@ import numpy as np
 from tests.kernel_utils import run_interpret
 
 
-def _model(block_attn: str, use_pallas: bool):
+def _model(block_attn: str, use_pallas: bool, head_pair: bool = False):
     from mvlt_tpu.config import LossType, ModelConfig
     from mvlt_tpu.models import create_model
 
@@ -26,7 +26,7 @@ def _model(block_attn: str, use_pallas: bool):
         compute_dtype="float32", use_pallas_attention=use_pallas,
         drop_path_rate=0.0, kernel_gelu="erf",
         loss_type=LossType(itm=True, mlm=False, t2i=False, cls=False),
-        block_attn_kernel=block_attn,
+        block_attn_kernel=block_attn, head_pair_attn=head_pair,
     )
     return create_model(cfg)
 
@@ -44,4 +44,23 @@ def test_v1_full_kernel_path_matches_xla():
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         got = run_interpret(
             lambda: full.apply(variables, imgs, ids, train=False)["itm_logits"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_v1_full_head_pair_matches_xla():
+    """hp2 end-to-end routing: head_pair_attn engages the paired SR-KV
+    producer (ops/sr_kv.py head_pair) + fused_block(head_pair, kv_paired)
+    at every multi-head stage; output must match the plain XLA forward."""
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 16)), jnp.int32)
+
+    base = _model("none", use_pallas=False)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), imgs, ids)
+    want = np.asarray(base.apply(variables, imgs, ids, train=False)["itm_logits"])
+
+    hp2 = _model("full", use_pallas=True, head_pair=True)
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        got = run_interpret(
+            lambda: hp2.apply(variables, imgs, ids, train=False)["itm_logits"])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
