@@ -106,10 +106,21 @@ def flops_per_pair(cfg, input_size: int) -> dict:
         f += T * text_prev * c * 2                               # text reproj
         for _ in range(cfg.depths[i]):
             f += n * c * c * 2                                   # q proj
-            if sr > 1:
-                f += (n_img // (sr * sr)) * c * sr * sr * c * 2  # sr conv
-            f += m * c * 2 * c * 2                               # kv proj
-            f += 2 * n * m * c * 2                               # qk^T + av
+            if getattr(cfg, "variant", "v1") == "swin":
+                # windowed attention: visual queries see their ws^2 window
+                # + text KV; text queries see x-pooled visual + text KV
+                # (models/swin.py); KV projected for n_img + T + pooled rows
+                ws = min(cfg.window_size, h, w)
+                win = max(1, h // 8)                 # text_pool default
+                pooled = (h // win) * (w // win) if (h % win == 0 and w % win == 0) else n_img
+                f += (n_img + T + pooled) * c * 2 * c * 2        # kv proj
+                f += 2 * n_img * (ws * ws + T) * c * 2           # visual qk+av
+                f += 2 * T * (pooled + T) * c * 2                # text qk+av
+            else:
+                if sr > 1:
+                    f += (n_img // (sr * sr)) * c * sr * sr * c * 2  # sr conv
+                f += m * c * 2 * c * 2                           # kv proj
+                f += 2 * n * m * c * 2                           # qk^T + av
             f += n * c * c * 2                                   # out proj
             f += 2 * n * c * int(cfg.mlp_ratios[i] * c) * 2      # mlp
         prev_c = c

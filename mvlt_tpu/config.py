@@ -116,8 +116,22 @@ class ModelConfig:
     # against block-interleaved K rows (ops/kernel_math.softmax_av_pair).
     # Stage 3's dim-320 Q/proj operands shrink 640->384 lanes as a bonus.
     # pack2 covers the single-head dim-64 stage; paths other than v1 'full'
-    # ignore this knob.  Default by measurement (tools/tpu_hp2_check.py).
-    head_pair_attn: bool = False
+    # ignore this knob.  Default ON by measurement (tools/tpu_hp2_check.py,
+    # 2026-08-19 v5e): 10.99 vs 11.38 ms/batch @ B=101 (9187 vs 8878
+    # pairs/s, +3.5%), itm-logit rel-err 7.8e-3 (bf16 tolerance) vs the
+    # per-head-stripe path — with the K/V PRODUCER emitting the paired
+    # layout (ops/sr_kv.py head_pair); XLA-side pairing copies instead
+    # measured a 10% LOSS (8008), the round-2 K/V-glue lesson again.
+    head_pair_attn: bool = True
+    # pack2 layout for the fused LN-MLP kernel at dim=64 (stage 1): two
+    # tokens per 128-lane row (free reshape) instead of lane-padding
+    # 64->128 — removes the pad/slice copies of x/dy/dx and halves the
+    # kernel stream bytes in BOTH the forward and the custom-VJP backward
+    # (weights block-diagonalized, grads fold after the grid).  Applies
+    # wherever fused_ln_mlp runs (training is where it matters; the 'full'
+    # serving path has its own packed block kernel).  Default by
+    # measurement (tools/bench_train_step.py A/B — VERDICT r4 #2b).
+    pack_mlp_train: bool = False
     # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
     # folds into the kernel as a per-sample row scale.  Default on by
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the

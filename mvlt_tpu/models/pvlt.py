@@ -317,6 +317,7 @@ class Block(nn.Module):
     fused_attn_train: bool = False  # ModelConfig.fused_attn_train
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     head_pair: bool = False    # ModelConfig.head_pair_attn: hp2 stripes ('full')
+    pack2_mlp: bool = False    # ModelConfig.pack_mlp_train: packed fused-MLP
     dwconv_kernel: bool = False  # ModelConfig.dwconv_mlp_kernel (v2 serving)
     pack2: bool = False        # ModelConfig.pack_stage1: stream packed 2 tokens/row
     v2_full: bool = False      # v2 whole-stage fused serving (lane-padded stream)
@@ -943,6 +944,10 @@ class Block(nn.Module):
                 p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
                 row_scale,
                 eps=self.ln_eps, gelu=self.kernel_gelu,
+                # packed two-tokens-per-row layout at dim=64 (stage 1):
+                # no 64->128 pad/slice copies, half the kernel stream bytes
+                # in BOTH the forward and the custom-VJP backward
+                pack2=self.pack2_mlp,
             )
 
         # v2 serving: the whole-image fused DWConv-MLP kernel
@@ -1205,6 +1210,7 @@ class PVLT(nn.Module):
                     fused_attn_train=cfg.fused_attn_train,
                     kernel_gelu=cfg.kernel_gelu,
                     head_pair=cfg.head_pair_attn,
+                    pack2_mlp=cfg.pack_mlp_train,
                     dwconv_kernel=cfg.dwconv_mlp_kernel,
                     pack2=pack2,
                     v2_full=v2_full_stage,

@@ -151,7 +151,11 @@ def softmax_av_pair(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array, *,
     ) * (scale * LOG2E)                                # [rows, 2*m_pad]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     if kv_len < m_pad:
-        logits = jnp.where(col % m_pad < kv_len, logits, -jnp.inf)
+        # NB: no `col % m_pad` — integer mod by a non-power-of-2 lowers to
+        # the VPU divide, the most expensive elementwise primitive here
+        # (CLAUDE.md); two compares are effectively free
+        keep = (col < kv_len) | ((col >= m_pad) & (col < m_pad + kv_len))
+        logits = jnp.where(keep, logits, -jnp.inf)
     row_max = jnp.max(logits, axis=-1, keepdims=True)  # global (shared) max
     unnorm = jnp.exp2(logits - row_max)
     is_lo = col < m_pad
