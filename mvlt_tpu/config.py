@@ -129,9 +129,12 @@ class ModelConfig:
     # kernel stream bytes in BOTH the forward and the custom-VJP backward
     # (weights block-diagonalized, grads fold after the grid).  Applies
     # wherever fused_ln_mlp runs (training is where it matters; the 'full'
-    # serving path has its own packed block kernel).  Default by
-    # measurement (tools/bench_train_step.py A/B — VERDICT r4 #2b).
-    pack_mlp_train: bool = False
+    # serving path has its own packed block kernel).  Default ON by
+    # measurement (tools/probes/bench_pack_mlp_train.py, 2026-08-20 v5e,
+    # real train step @ B=150, slope harness): 111.2 vs 114.8 ms/step
+    # (1349 vs 1306 pairs/s, +3.2%), warm loss 15.5772 vs 15.5771 (bf16
+    # noise) — VERDICT r4 #2b.
+    pack_mlp_train: bool = True
     # use the fused LN-MLP kernel (custom VJP) in TRAINING too; DropPath
     # folds into the kernel as a per-sample row scale.  Default on by
     # measurement: 140.3 vs 144.5 ms/step at B=150 on v5e under the
@@ -149,10 +152,27 @@ class ModelConfig:
     # B=150 on v5e (tools/bench_train_fusedattn.py, forced-fetch slope) —
     # the backward kernel's full forward recompute plus its sequential
     # (batch x tile) accumulation grid loses to XLA autodiff's
-    # save-activations schedule at these shapes.  The kernel + custom VJP
+    # save-activations schedule at these shapes.  Re-measured 2026-08-20
+    # with pack_mlp_train on: off 111.2 / recompute 113.5 / saved-stats
+    # 115.6 ms/step — still OFF (see fused_attn_stats for why the stats
+    # form is the worst of the three).  The kernel + custom VJP
     # stay available (and tested) for memory-bound regimes where the saved
     # full-stream activations matter more than the recompute.
     fused_attn_train: bool = False
+    # save-activations backward for the fused attention half (VERDICT r4
+    # #2a; only read when fused_attn_train=True): the forward persists
+    # per-row LN mean/inv_std + per-head softmax row_max/inv_denom as a
+    # tiny [B, N, S] fp32 side output (~20 MB at stage-1 B=150 vs the
+    # ~324 MB/block a saved P would stream) and the backward rebuilds
+    # nhat/P with multiplies — no LN/softmax tile reductions, no fp32
+    # divide.  Default OFF by measurement (tools/bench_train_fusedattn.py,
+    # 2026-08-20 v5e, B=150 slope harness): stats 115.6 vs recompute 113.5
+    # vs XLA-off 111.2 ms/step — the stats forward's extra live fp32
+    # logits/unnorm force a 2-tile stream split (scoped-VMEM), which costs
+    # more than the backward's saved reductions recover.  Both fused-VJP
+    # forms lose to XLA autodiff at these shapes; the kernels stay for
+    # memory-bound regimes (saved full-stream activations).
+    fused_attn_stats: bool = False
     # GELU form inside the Pallas kernels: 'tanh' (default) or 'erf'.
     # Measured on v5e: the A&S erf polynomial's fp32 divide costs ~1 ms per
     # stage-1 block while the tanh form is free (tools/bench_block_vpu.py,

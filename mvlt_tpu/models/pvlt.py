@@ -315,6 +315,7 @@ class Block(nn.Module):
     block_attn: str = "none"   # ModelConfig.block_attn_kernel: none|mega|auto|full
     fused_mlp_train: bool = False  # ModelConfig.fused_mlp_train
     fused_attn_train: bool = False  # ModelConfig.fused_attn_train
+    fused_attn_stats: bool = False  # ModelConfig.fused_attn_stats: saved-stats VJP
     kernel_gelu: str = "tanh"  # ModelConfig.kernel_gelu: tanh|erf (kernels only)
     head_pair: bool = False    # ModelConfig.head_pair_attn: hp2 stripes ('full')
     pack2_mlp: bool = False    # ModelConfig.pack_mlp_train: packed fused-MLP
@@ -479,11 +480,13 @@ class Block(nn.Module):
         return kv[0], kv[1], m
 
     def _fused_attention_half(self, x: jnp.ndarray, hw: tuple,
-                              row_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                              row_scale: Optional[jnp.ndarray] = None,
+                              save_stats: bool = False) -> jnp.ndarray:
         """LN1 -> Q-proj -> attention -> out-proj -> +res as one Pallas
         megakernel (mvlt_tpu/ops/block_attention.py).  Differentiable (custom
         VJP) — used by the 'mega' inference mode AND the training path, where
-        ``row_scale`` folds the per-sample DropPath."""
+        ``row_scale`` folds the per-sample DropPath and ``save_stats``
+        selects the saved-statistics backward (ModelConfig.fused_attn_stats)."""
         from mvlt_tpu.ops.block_attention import fused_block_attention
 
         p = self.variables["params"]
@@ -498,6 +501,7 @@ class Block(nn.Module):
             ap["proj"]["kernel"], ap["proj"]["bias"],
             row_scale,
             scale=(c // nh) ** -0.5, eps=self.ln_eps, num_heads=nh,
+            save_stats=save_stats,
         )
 
     def _drop_path_row_scale(self, x: jnp.ndarray) -> Optional[jnp.ndarray]:
@@ -882,7 +886,8 @@ class Block(nn.Module):
             x = self._fused_attention_half(x, hw)
         elif fused_attn_train_ok:
             x = self._fused_attention_half(x, hw,
-                                           row_scale=self._drop_path_row_scale(x))
+                                           row_scale=self._drop_path_row_scale(x),
+                                           save_stats=self.fused_attn_stats)
         elif self.variant == "swin":
             from mvlt_tpu.models.swin import SwinJointAttention
 
@@ -1208,6 +1213,7 @@ class PVLT(nn.Module):
                     block_attn=cfg.block_attn_kernel,
                     fused_mlp_train=cfg.fused_mlp_train,
                     fused_attn_train=cfg.fused_attn_train,
+                    fused_attn_stats=cfg.fused_attn_stats,
                     kernel_gelu=cfg.kernel_gelu,
                     head_pair=cfg.head_pair_attn,
                     pack2_mlp=cfg.pack_mlp_train,

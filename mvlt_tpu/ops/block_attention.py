@@ -36,8 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mvlt_tpu.ops.kernel_math import (one_pass_ln, round_up as _round_up,
-                                      softmax_av)
+from mvlt_tpu.ops.kernel_math import (one_pass_ln, one_pass_ln_stats,
+                                      round_up as _round_up,
+                                      softmax_av, softmax_av_stats)
 
 _LOGITS_BUDGET = 4 * 1024 * 1024
 # backward-kernel gate: fixed VMEM blocks (weights + fp32 weight grads +
@@ -78,6 +79,58 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref, g_ref, be_ref,
     tile, dp = y.shape
     y = (y.reshape(8, tile // 8, dp) * s_ref[0, 0][:, :, None]).reshape(tile, dp)
     o_ref[0] = (xf + y).astype(o_ref.dtype)
+
+
+def _kernel_stats(x_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, bp_ref, g_ref,
+                  be_ref, s_ref, o_ref, st_ref, *, scale: float, eps: float,
+                  dim: int, kv_len: int, num_heads: int):
+    """_kernel plus a per-row statistics side output st_ref [1, TILE, S]
+    (S = round_up(2 + 2H, 8) fp32 lanes: LN mean / inv_std, then per head
+    softmax row_max (exp2 units) / inv_denom).  The stats-mode backward
+    (_bwd_kernel_stats) rebuilds nhat and P from these with two multiplies
+    per element — no tile reductions, no fp32 divide (VERDICT r4 #2a:
+    the recompute backward's forward-chain replay is what it lost on)."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+
+    normed_f, mean, inv_std = one_pass_ln_stats(
+        xf, dim, eps, g_ref[0].astype(jnp.float32),
+        be_ref[0].astype(jnp.float32))
+    normed = normed_f.astype(x.dtype)
+
+    q_all = (jax.lax.dot_general(
+        normed, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    cols = [mean, inv_std]
+    outs = []
+    for h in range(num_heads):
+        q_h = q_all[:, h * 128:(h + 1) * 128]
+        o_h, row_max, inv_den = softmax_av_stats(
+            q_h, k_ref[0, h], v_ref[0, h],
+            scale=scale, kv_len=kv_len, out_dtype=x.dtype)
+        outs.append(o_h)
+        cols.extend([row_max, inv_den])
+    attn_out = jnp.concatenate(outs, axis=-1) if num_heads > 1 else outs[0]
+
+    y = jax.lax.dot_general(
+        attn_out, wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[0].astype(jnp.float32)
+    tile, dp = y.shape
+    y = (y.reshape(8, tile // 8, dp) * s_ref[0, 0][:, :, None]).reshape(tile, dp)
+    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    s_lanes = st_ref.shape[-1]
+    while len(cols) < s_lanes:
+        cols.append(jnp.zeros_like(mean))
+    st_ref[0] = jnp.concatenate(cols, axis=1)
+
+
+def _stats_lanes(num_heads: int) -> int:
+    return _round_up(2 + 2 * num_heads, 8)
 
 
 def _bwd_kernel(x_ref, dy_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, g_ref,
@@ -209,12 +262,148 @@ def _bwd_kernel(x_ref, dy_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref, g_ref,
     dx_ref[0] = (dy_out + dx_ln).astype(dx_ref.dtype)
 
 
+def _bwd_kernel_stats(x_ref, dy_ref, k_ref, v_ref, wq_ref, bq_ref, wp_ref,
+                      g_ref, be_ref, s_ref, st_ref,
+                      dx_ref, dk_ref, dv_ref, dwq_ref, dbq_ref, dwp_ref,
+                      dbp_ref, dg_ref, dbe_ref,
+                      *, scale: float, eps: float, dim: int, kv_len: int,
+                      num_heads: int):
+    """_bwd_kernel with the forward-pass statistics SAVED by _kernel_stats
+    (st_ref [1, TILE, S] fp32): nhat rebuilds as (x - mean) * inv_std and
+    each head's P as exp2(logits - row_max) * inv_denom — the LN sum/sumsq
+    and softmax max/sum tile reductions and the fp32 divide (the most
+    expensive VPU primitive here, kernel_math module docstring) all drop
+    out of the backward.  The logit/Q matmuls still replay (MXU-cheap;
+    persisting P itself would stream [B,H,N,M] through HBM — hundreds of
+    MB per stage-1 block at B=150)."""
+    from mvlt_tpu.ops.kernel_math import LOG2E
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for r in (dwq_ref, dbq_ref, dwp_ref, dbp_ref, dg_ref, dbe_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    d_pad = x.shape[-1]
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = be_ref[0].astype(jnp.float32)
+    st = st_ref[0]                        # [tile, S] fp32 forward stats
+
+    if dim < d_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+        valid = col < dim
+    else:
+        valid = None
+    mean = st[:, 0:1]
+    inv_std = st[:, 1:2]
+    nhat = (xf - mean) * inv_std
+    if valid is not None:
+        nhat = jnp.where(valid, nhat, 0.0)
+    normed = (nhat * gamma + beta).astype(x.dtype)
+    q_all = (jax.lax.dot_general(
+        normed, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bq_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    dy_out = dy_ref[0].astype(jnp.float32)
+    tile_rows, dp0 = dy_out.shape
+    dyb = (dy_out.reshape(8, tile_rows // 8, dp0)
+           * s_ref[0, 0][:, :, None]).reshape(tile_rows, dp0)
+    dyb_b = dyb.astype(x.dtype)
+
+    dbp_ref[...] += jnp.sum(dyb, axis=0, keepdims=True).astype(dbp_ref.dtype)
+    dattn = jax.lax.dot_general(
+        dyb_b, wp_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [tile, H*128]
+
+    m_pad = k_ref.shape[2]
+    attn_outs = []
+    dq_parts = []
+    for h in range(num_heads):
+        q_h = q_all[:, h * 128:(h + 1) * 128]
+        k_h = k_ref[0, h]
+        v_h = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
+        if kv_len < m_pad:
+            colm = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(colm < kv_len, logits, -jnp.inf)
+        # saved stats: no max reduction, no sum reduction, no divide.  The
+        # min-0 clamp is exact for real rows (row_max IS the row's max, so
+        # the exponent is <= 0) and guards zero-padded stats rows (row_max
+        # 0) from exp2 overflow -> inf * 0 NaNs poisoning dv/dk sums.
+        p = jnp.exp2(jnp.minimum(logits - st[:, 2 + 2 * h:3 + 2 * h], 0.0)) \
+            * st[:, 3 + 2 * h:4 + 2 * h]             # fp32 [tile, m]
+        pb = p.astype(x.dtype)
+
+        attn_outs.append(jax.lax.dot_general(
+            pb, v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+
+        do_h = dattn[:, h * 128:(h + 1) * 128].astype(x.dtype)
+        dv_ref[0, h] += jax.lax.dot_general(
+            pb, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tmp = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - tmp) * scale).astype(x.dtype)
+        dq_parts.append(jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dk_ref[0, h] += jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+    attn_out = (jnp.concatenate(attn_outs, axis=-1)
+                if num_heads > 1 else attn_outs[0])
+    dwp_ref[...] += jax.lax.dot_general(
+        attn_out, dyb_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwp_ref.dtype)
+
+    dq_all = jnp.concatenate(dq_parts, axis=-1) if num_heads > 1 else dq_parts[0]
+    dbq_ref[...] += jnp.sum(dq_all, axis=0, keepdims=True).astype(dbq_ref.dtype)
+    dq_b = dq_all.astype(x.dtype)
+    dwq_ref[...] += jax.lax.dot_general(
+        normed, dq_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwq_ref.dtype)
+    dnormed = jax.lax.dot_general(
+        dq_b, wq_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [tile, D_pad]
+    if valid is not None:
+        dnormed = jnp.where(valid, dnormed, 0.0)
+    dg_ref[...] += jnp.sum(dnormed * nhat, axis=0, keepdims=True).astype(dg_ref.dtype)
+    dbe_ref[...] += jnp.sum(dnormed, axis=0, keepdims=True).astype(dbe_ref.dtype)
+    dnhat = dnormed * gamma
+    m1 = jnp.sum(dnhat, axis=-1, keepdims=True) / dim
+    m2 = jnp.sum(dnhat * nhat, axis=-1, keepdims=True) / dim
+    dx_ln = (dnhat - m1 - nhat * m2) * inv_std
+    if valid is not None:
+        dx_ln = jnp.where(valid, dx_ln, 0.0)
+    dx_ref[0] = (dy_out + dx_ln).astype(dx_ref.dtype)
+
+
 def _prep(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, num_heads,
-          bwd: bool = False):
+          bwd: bool = False, stats: bool = False):
     """Pad params/operands into the kernel layouts; returns a dict plus the
     row-tile plan.  Shared by forward and backward (``bwd`` switches to the
     backward's much larger per-row live-set estimate — the fp32
-    logits/p/dp/ds chain plus the dnormed/dx intermediates)."""
+    logits/p/dp/ds chain plus the dnormed/dx intermediates; ``stats``
+    inflates the forward estimate for the stats-emitting kernel, whose
+    returned row_max/inv_denom keep the fp32 logits AND unnorm tiles live
+    simultaneously — measured 21.7M actual vs the plain plan's 13M at
+    stage-1 shapes, a scoped-VMEM OOM at one whole-stream tile)."""
     b, n, d = x.shape
     h = num_heads
     hd = d // h
@@ -267,6 +456,10 @@ def _prep(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, num_heads,
         # overflow mode is an opaque tpu_compile_helper HTTP 500.
         esz = dtype.itemsize
         per_row = m_pad * 4 + h * hd_pad * 2 * esz + d_pad * (6 + 2 * esz)
+        if stats:
+            # two more live fp32 [tile, m_pad] buffers per head + the
+            # [tile, S] side output
+            per_row += h * m_pad * 8 + _stats_lanes(h) * 4
         fixed = (2 * d_pad * h * hd_pad + 2 * h * m_pad * hd_pad) * (esz - 2)
         budget = max(2 * 1024 * 1024, 13 * 1024 * 1024 - max(0, fixed))
     cap = max(256, budget // per_row // 8 * 8)
@@ -287,18 +480,37 @@ def _expand_row_scale(row_scale, b, n_pad, tile):
     return s.reshape(b, n_pad // tile, 8, tile // 8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _bwd_fixed_bytes(d: int, m: int, num_heads: int) -> int:
+    """Fixed VMEM blocks of the backward kernels: bf16 wq2/wp2 + fp32
+    dwq/dwp + bf16 K/V + fp32 dK/dV (shared by the recompute and stats
+    forms — the stats block is per-tile, not fixed)."""
+    d_pad = _round_up(d, 128)
+    m_pad = _round_up(m, 128)
+    return (2 * d_pad * num_heads * 128 * (2 + 4)
+            + 2 * num_heads * m_pad * 128 * (2 + 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def _fused_block_attention_vjp(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp,
-                               row_scale, scale, eps, num_heads):
+                               row_scale, scale, eps, num_heads, save_stats):
     return _fba_impl(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale,
                      scale=scale, eps=eps, num_heads=num_heads)
 
 
 def _fba_fwd(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale,
-             scale, eps, num_heads):
+             scale, eps, num_heads, save_stats):
+    # stats only help when the kernel backward will actually run; at
+    # XLA-fallback shapes (stage 4) skip the side output entirely
+    if save_stats and _bwd_fixed_bytes(x.shape[2], k.shape[2],
+                                       num_heads) <= _BWD_FIXED_BUDGET:
+        out, stats = _fba_impl_stats(
+            x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale,
+            scale=scale, eps=eps, num_heads=num_heads)
+        return out, (x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale,
+                     stats)
     out = _fba_impl(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale,
                     scale=scale, eps=eps, num_heads=num_heads)
-    return out, (x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale)
+    return out, (x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale, None)
 
 
 def _xla_block_attention(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp,
@@ -329,8 +541,8 @@ def _xla_block_attention(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp,
     return (xf + row_scale.astype(jnp.float32)[:, None, None] * y).astype(x.dtype)
 
 
-def _fba_bwd(scale, eps, num_heads, res, dy):
-    x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale = res
+def _fba_bwd(scale, eps, num_heads, save_stats, res, dy):
+    x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, row_scale, stats = res
     b, n, d = x.shape
     h = num_heads
     hd = d // h
@@ -340,8 +552,7 @@ def _fba_bwd(scale, eps, num_heads, res, dy):
     m_pad = _round_up(m, 128)
 
     # fixed VMEM blocks: bf16 wq2/wp2 + fp32 dwq/dwp + bf16 K/V + fp32 dK/dV
-    fixed = (2 * d_pad * h * hd_pad * (2 + 4)
-             + 2 * h * m_pad * hd_pad * (2 + 4))
+    fixed = _bwd_fixed_bytes(d, m, h)
     if fixed > _BWD_FIXED_BUDGET:
         _, vjp = jax.vjp(
             lambda *a: _xla_block_attention(*a, scale, eps, num_heads),
@@ -361,8 +572,22 @@ def _fba_bwd(scale, eps, num_heads, res, dy):
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
+    if stats is not None:
+        # forward stats ride in per tile; the forward's row-tile plan can
+        # differ from the backward's, so re-pad to this grid's n_pad
+        s_lanes = stats.shape[-1]
+        stp = jnp.pad(stats, ((0, 0), (0, n_pad - n), (0, 0))) \
+            if n_pad != n else stats
+        kern = _bwd_kernel_stats
+        extra_in = [stp]
+        extra_spec = [pl.BlockSpec((1, tile, s_lanes), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM)]
+    else:
+        kern = _bwd_kernel
+        extra_in = []
+        extra_spec = []
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, eps=eps, dim=d,
+        functools.partial(kern, scale=scale, eps=eps, dim=d,
                           kv_len=m, num_heads=h),
         grid=grid,
         in_specs=[
@@ -373,6 +598,7 @@ def _fba_bwd(scale, eps, num_heads, res, dy):
             vec(d_pad), vec(d_pad),
             pl.BlockSpec((1, 1, 8, tile // 8), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_spec,
         ],
         out_specs=[
             stream, kv_spec, kv_spec,
@@ -396,7 +622,8 @@ def _fba_bwd(scale, eps, num_heads, res, dy):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(p["xp"], dyp, p["kp"], p["vp"], p["wq2"], p["bq2"], p["wp2"],
-      p["g2"], p["be2"], sf.reshape(b, n_pad // tile, 8, tile // 8))
+      p["g2"], p["be2"], sf.reshape(b, n_pad // tile, 8, tile // 8),
+      *extra_in)
 
     dx_t, dk_p, dv_p, dwq2, dbq2, dwp2, dbp2, dg2, dbe2 = outs
     dx = dx_t[:, :n, :d]
@@ -459,6 +686,67 @@ def _fba_impl(x: jax.Array, k: jax.Array, v: jax.Array,
       p["g2"], p["be2"], sf)
 
     return out[:, :n, :d]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "eps", "num_heads"))
+def _fba_impl_stats(x: jax.Array, k: jax.Array, v: jax.Array,
+                    ln_scale: jax.Array, ln_bias: jax.Array,
+                    wq: jax.Array, bq: jax.Array,
+                    wp: jax.Array, bp: jax.Array,
+                    row_scale: jax.Array,
+                    *, scale: float, eps: float, num_heads: int):
+    """_fba_impl that ALSO returns the per-row forward statistics
+    ([B, N, S] fp32, S = round_up(2+2H, 8): LN mean/inv_std + per-head
+    softmax row_max/inv_denom) for the save-activations backward.  The
+    side output is ~S*4 bytes/row — for stage 1 at B=150 that is ~20 MB
+    vs the ~324 MB/block a persisted P would stream."""
+    p = _prep(x, k, v, ln_scale, ln_bias, wq, bq, wp, bp, num_heads,
+              stats=True)
+    b, n, d = p["b"], p["n"], p["d"]
+    h, d_pad, hd_pad, m_pad = p["h"], p["d_pad"], p["hd_pad"], p["m_pad"]
+    tile, n_pad = p["tile"], p["n_pad"]
+    sf = _expand_row_scale(row_scale, b, n_pad, tile)
+    s_lanes = _stats_lanes(h)
+
+    grid = (b, n_pad // tile)
+    out, stats = pl.pallas_call(
+        functools.partial(_kernel_stats, scale=scale, eps=eps, dim=d,
+                          kv_len=p["m"], num_heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, m_pad, hd_pad), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * hd_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h * hd_pad, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, tile // 8), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, s_lanes), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), x.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, s_lanes), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (d_pad * h * hd_pad * 2 + h * m_pad * hd_pad * 2),
+            bytes_accessed=(2 * b * n_pad * d_pad
+                            + b * 2 * h * m_pad * hd_pad) * x.dtype.itemsize
+                           + b * n_pad * s_lanes * 4,
+            transcendentals=b * n * h * m_pad,
+        ),
+    )(p["xp"], p["kp"], p["vp"], p["wq2"], p["bq2"], p["wp2"], p["bp2"],
+      p["g2"], p["be2"], sf)
+
+    return out[:, :n, :d], stats[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "eps", "num_heads",
@@ -552,7 +840,8 @@ def fused_block_attention(x: jax.Array, k: jax.Array, v: jax.Array,
                           wq: jax.Array, bq: jax.Array,
                           wp: jax.Array, bp: jax.Array,
                           row_scale: jax.Array | None = None,
-                          *, scale: float, eps: float, num_heads: int) -> jax.Array:
+                          *, scale: float, eps: float, num_heads: int,
+                          save_stats: bool = False) -> jax.Array:
     """x: [B, N, D]; k, v: [B, H, M, hd] (already projected, hd = D/H).
 
     Returns x + row_scale * proj(attention(LN(x))) with everything
@@ -560,8 +849,15 @@ def fused_block_attention(x: jax.Array, k: jax.Array, v: jax.Array,
     ones).  Differentiable: the backward is its own Pallas kernel (see
     module docstring), with XLA-autodiff fallback for shapes whose fixed
     VMEM blocks don't fit.
+
+    save_stats=True (training): the forward persists per-row LN and
+    softmax statistics ([B, N, S] fp32 side output, S = round_up(2+2H, 8))
+    and the backward rebuilds nhat/P from them — no LN sum/sumsq or
+    softmax max/sum reductions and no fp32 divide in the backward
+    (VERDICT r4 #2a).  Ignored at XLA-fallback shapes.
     """
     if row_scale is None:
         row_scale = jnp.ones((x.shape[0],), jnp.float32)
     return _fused_block_attention_vjp(x, k, v, ln_scale, ln_bias, wq, bq,
-                                      wp, bp, row_scale, scale, eps, num_heads)
+                                      wp, bp, row_scale, scale, eps,
+                                      num_heads, save_stats)

@@ -84,6 +84,15 @@ def one_pass_ln(xf: jax.Array, dim: int, eps: float,
     """fp32 LayerNorm over the first ``dim`` lanes of a (possibly
     lane-padded) [rows, d_pad] tile, single-pass statistics.  Padded lanes
     produce garbage that every consumer masks via zero-padded weight rows."""
+    return one_pass_ln_stats(xf, dim, eps, gamma, beta)[0]
+
+
+def one_pass_ln_stats(xf: jax.Array, dim: int, eps: float,
+                      gamma: jax.Array, beta: jax.Array):
+    """one_pass_ln returning ``(normed, mean, inv_std)`` — the [rows, 1]
+    fp32 statistics a save-activations backward persists so it can rebuild
+    ``nhat`` with two multiplies instead of two tile reductions
+    (ops/block_attention.py stats mode)."""
     d_pad = xf.shape[-1]
     if dim < d_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
@@ -94,7 +103,8 @@ def one_pass_ln(xf: jax.Array, dim: int, eps: float,
     s2 = jnp.sum(xz * xz, axis=-1, keepdims=True)
     mean = s1 / dim
     var = s2 / dim - mean * mean
-    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    inv_std = jax.lax.rsqrt(var + eps)
+    return (xf - mean) * inv_std * gamma + beta, mean, inv_std
 
 
 def packed_ln(xf: jax.Array, a_half: jax.Array, eps: float,
@@ -177,6 +187,18 @@ def softmax_av(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
     log2(e) folded into the scale, exp2, and the softmax normalizer applied
     to the [rows, hd] output of P@V instead of the [rows, M_pad] P.
     fp32 logits; P@V accumulates fp32; returns out_dtype."""
+    return softmax_av_stats(q_h, k_h, v_h, scale=scale, kv_len=kv_len,
+                            out_dtype=out_dtype)[0]
+
+
+def softmax_av_stats(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
+                     scale: float, kv_len: int, out_dtype):
+    """softmax_av returning ``(out, row_max, inv_denom)`` — the [rows, 1]
+    fp32 softmax statistics (max in exp2 units, reciprocal normalizer) a
+    save-activations backward persists so P rebuilds as
+    ``exp2(logits - row_max) * inv_denom``: one matmul + one exp2, no max
+    or sum reduction and no fp32 divide (ops/block_attention.py stats
+    mode)."""
     m_pad = k_h.shape[0]
     logits = jax.lax.dot_general(
         q_h, k_h,
@@ -188,10 +210,10 @@ def softmax_av(q_h: jax.Array, k_h: jax.Array, v_h: jax.Array, *,
         logits = jnp.where(col < kv_len, logits, -jnp.inf)
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp2(logits - row_max)            # exp2(-inf) == 0: mask holds
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    inv_denom = 1.0 / jnp.sum(unnorm, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         unnorm.astype(v_h.dtype), v_h,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / denom
-    return out.astype(out_dtype)
+    ) * inv_denom
+    return out.astype(out_dtype), row_max, inv_denom

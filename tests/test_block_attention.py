@@ -114,6 +114,100 @@ def test_fused_block_attention_row_scale(rng):
     np.testing.assert_allclose(np.asarray(scaled), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n,d,h,m", [(96, 64, 1, 24), (40, 128, 2, 24)])
+def test_fused_block_attention_grad_stats_matches_xla(rng, n, d, h, m):
+    """save_stats=True (ModelConfig.fused_attn_stats): the forward persists
+    LN/softmax statistics and the backward rebuilds nhat/P from them —
+    grads must match the XLA reference chain exactly like the recompute
+    backward does."""
+    from mvlt_tpu.ops import block_attention as ba
+
+    b, hd = 2, d // h
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = hd ** -0.5
+    cot = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    row_scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(b,)), jnp.float32)
+
+    argnames = ["x", "k", "v", "g", "be", "wq", "bq", "wp", "bp"]
+
+    def ref_loss(*args):
+        out = ba._xla_block_attention(*args, row_scale, scale, 1e-6, h)
+        return jnp.sum(out * cot)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(9)))(*[p[a] for a in argnames])
+
+    def fused_loss(*args):
+        out = ba.fused_block_attention(*args, row_scale, scale=scale,
+                                       eps=1e-6, num_heads=h, save_stats=True)
+        return jnp.sum(out * cot)
+
+    got = _run_interpret(lambda: jax.grad(fused_loss, argnums=tuple(range(9)))(
+        *[p[a] for a in argnames]))
+
+    for gg, gw, nm in zip(got, want, ["dx", "dk", "dv", "dgamma", "dbeta",
+                                      "dwq", "dbq", "dwp", "dbp"]):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=5e-4, atol=5e-4, err_msg=nm)
+
+
+def test_fused_block_attention_stats_forward_unchanged(rng):
+    """The stats-emitting forward must return the same primal output as
+    the plain forward (the side output is pure bookkeeping)."""
+    from mvlt_tpu.ops.block_attention import fused_block_attention
+
+    b, n, d, h, m = 2, 64, 64, 1, 16
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = (d // h) ** -0.5
+    args = (p["x"], p["k"], p["v"], p["g"], p["be"], p["wq"], p["bq"],
+            p["wp"], p["bp"])
+    kw = dict(scale=scale, eps=1e-6, num_heads=h)
+
+    def plain():
+        out, _ = jax.vjp(lambda x: fused_block_attention(
+            x, *args[1:], **kw), p["x"])
+        return out
+
+    def stats():
+        out, _ = jax.vjp(lambda x: fused_block_attention(
+            x, *args[1:], **kw, save_stats=True), p["x"])
+        return out
+
+    np.testing.assert_allclose(np.asarray(_run_interpret(stats)),
+                               np.asarray(_run_interpret(plain)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_block_attention_stats_xla_fallback(rng):
+    """save_stats at XLA-fallback shapes: the fwd gate skips the side
+    output and the backward takes the XLA path; grads still match."""
+    from mvlt_tpu.ops import block_attention as ba
+
+    b, n, d, h, m = 1, 16, 64, 1, 8
+    p = _mk_params(rng, b, n, d, h, m)
+    scale = (d // h) ** -0.5
+    cot = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    rs = jnp.asarray([0.7], jnp.float32)
+
+    def fused_loss(x):
+        out = ba.fused_block_attention(x, p["k"], p["v"], p["g"], p["be"],
+                                       p["wq"], p["bq"], p["wp"], p["bp"],
+                                       rs, scale=scale, eps=1e-6, num_heads=h,
+                                       save_stats=True)
+        return jnp.sum(out * cot)
+
+    def ref_loss(x):
+        out = ba._xla_block_attention(x, p["k"], p["v"], p["g"], p["be"],
+                                      p["wq"], p["bq"], p["wp"], p["bp"],
+                                      rs, scale, 1e-6, h)
+        return jnp.sum(out * cot)
+
+    want = jax.grad(ref_loss)(p["x"])
+    with mock.patch.object(ba, "_BWD_FIXED_BUDGET", 0):  # force the fallback
+        got = _run_interpret(lambda: jax.grad(fused_loss)(p["x"]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_fused_block_attention_bwd_xla_fallback(rng):
     """Shapes whose fixed VMEM blocks exceed the budget take the XLA
     fallback; grads must still match the reference chain."""

@@ -60,5 +60,8 @@ def run(tag, **over):
     return dt
 
 
-run("fused_attn_train=False", fused_attn_train=False)
-run("fused_attn_train=True ", fused_attn_train=True)
+run("fused_attn_train=False          ", fused_attn_train=False)
+run("fused_attn_train=True  recompute", fused_attn_train=True,
+    fused_attn_stats=False)
+run("fused_attn_train=True  stats    ", fused_attn_train=True,
+    fused_attn_stats=True)
