@@ -95,6 +95,10 @@ def flops_per_pair(cfg, input_size: int) -> dict:
     for i in range(len(cfg.embed_dims)):
         c = cfg.embed_dims[i]
         k = cfg.patch_size if i == 0 else 2
+        if getattr(cfg, "variant", "v1") == "v2":
+            # PVT-v2 overlapping patch embeds (models/pvlt.py:1088-1093):
+            # k=7,s=4 at stage 1, k=3,s=2 after — same output grid
+            k = 7 if i == 0 else 3
         if i > 0:
             h, w = h // 2, w // 2
         stage_hw.append((h, w))
@@ -123,6 +127,10 @@ def flops_per_pair(cfg, input_size: int) -> dict:
                 f += 2 * n * m * c * 2                           # qk^T + av
             f += n * c * c * 2                                   # out proj
             f += 2 * n * c * int(cfg.mlp_ratios[i] * c) * 2      # mlp
+            if getattr(cfg, "variant", "v1") == "v2":
+                # depthwise 3x3 on the image half of the MLP hidden
+                # (models/pvlt.py DWConv, models/pvlt.py:268)
+                f += n_img * int(cfg.mlp_ratios[i] * c) * 9 * 2
         prev_c = c
         text_prev = c
     th = cfg.token_hidden_size

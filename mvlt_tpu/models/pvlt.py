@@ -1358,18 +1358,30 @@ def validate_model_config(cfg: ModelConfig) -> None:
         raise ValueError(f"mlm_capacity_frac={cfg.mlm_capacity_frac} must be in (0, 1]")
 
 
-def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None,
-                 sp_mesh: Optional[Any] = None) -> PVLT:
-    """Instantiate a PVLT from a ModelConfig, applying the registry preset
-    for cfg.name (all presets share dims/heads/mlp-ratios; only depths vary,
-    libs/pvlt.py:416-483)."""
+def resolve_model_config(cfg: ModelConfig) -> ModelConfig:
+    """Return cfg with the MODEL_REGISTRY preset for cfg.name applied —
+    the config the model will ACTUALLY be built with.  Anything computing
+    shape-derived quantities from a config (e.g. bench.py's analytic FLOP
+    model) must resolve first: a bare ModelConfig(name='pvlt_small') still
+    carries tiny depths until this runs."""
     if cfg.name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {cfg.name!r}; registry: {sorted(MODEL_REGISTRY)}")
-    validate_model_config(cfg)
     preset = MODEL_REGISTRY[cfg.name]
     updates = {k: v for k, v in preset.items() if getattr(cfg, k) != v}
     if updates:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, **updates)
+    return cfg
+
+
+def create_model(cfg: ModelConfig, *, axis_name: Optional[str] = None,
+                 sp_mesh: Optional[Any] = None) -> PVLT:
+    """Instantiate a PVLT from a ModelConfig, applying the registry preset
+    for cfg.name (all presets share dims/heads/mlp-ratios; only depths vary,
+    libs/pvlt.py:416-483)."""
+    cfg = resolve_model_config(cfg)  # validate what will actually be built:
+    # the preset sets variant, so e.g. swin+attn_drop must reject even when
+    # requested via name= with the default variant field
+    validate_model_config(cfg)
     return PVLT(cfg, axis_name=axis_name, sp_mesh=sp_mesh)

@@ -82,9 +82,12 @@ def bench(name):
 
     dt = (best(hi) - best(lo)) / (REPS_HI - REPS_LO) / ITERS
     # per-variant MFU from the analytic FLOP model (bench.py) so deep
-    # variants' honest 2x FLOPs/pair reads as efficiency, not "lag"
+    # variants' honest 2x FLOPs/pair reads as efficiency, not "lag".
+    # NB: resolve first — the registry preset (depths/variant) lives on the
+    # model, not on the bare ModelConfig we constructed above.
     from bench import V5E_PEAK_BF16, flops_per_pair
-    fl = flops_per_pair(cfg, 256)["backbone"]
+    from mvlt_tpu.models.pvlt import resolve_model_config
+    fl = flops_per_pair(resolve_model_config(cfg), 256)["backbone"]
     pairs = B / dt
     print(f"{name}: {dt * 1000:.2f} ms/batch ({pairs:.0f} pairs/s, "
           f"{fl / 1e9:.1f} GF/pair, MFU {pairs * fl / V5E_PEAK_BF16:.3f})",
