@@ -37,7 +37,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from mvlt_tpu.config import DataConfig
-from mvlt_tpu.data.image_ops import load_image
+from mvlt_tpu.data.image_ops import load_image, load_image_u8
 from mvlt_tpu.data.masks import apply_mask, generate_grid_mask, generate_square_mask, generate_stroke_mask
 from mvlt_tpu.data.text_masking import process_caption
 from mvlt_tpu.data.tokenizer import WordPieceTokenizer, make_tokenizer
@@ -187,8 +187,12 @@ class FashionGenRetrieval:
         captions = []
         for _, cand in bundle.items():
             captions.append(cand["captions"])
-            images.append(load_image(os.path.join(self.image_root, cand["img_name"]),
-                                     cfg.input_size))
+            # uint8 on the wire: PIL resizes in the uint8 domain, so the
+            # device-side /255 reproduces load_image bit-for-bit at 1/4 the
+            # host->device bytes (79 -> 20 MB per 101-bundle at 256px)
+            images.append(load_image_u8(os.path.join(self.image_root,
+                                                     cand["img_name"]),
+                                        cfg.input_size))
             info.append({"img_name": cand["img_name"], "prod_caption": cand["captions"]})
         # clean ids only (no masking): tokenizer.encode == process_caption's
         # ori_input_ids with word_mask_rate=0 (tests/test_data.py pins it).

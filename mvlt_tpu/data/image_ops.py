@@ -38,13 +38,24 @@ def whitespace_crop(img: Image.Image) -> Image.Image:
 def load_image(path: str, size: int, crop: bool = True) -> np.ndarray:
     """Decode -> (optional) whitespace crop -> bilinear resize -> [0,1]
     float32 NHWC array [size, size, 3]."""
+    return load_image_u8(path, size, crop).astype(np.float32) / 255.0
+
+
+def load_image_u8(path: str, size: int, crop: bool = True) -> np.ndarray:
+    """load_image's pipeline stopped BEFORE the /255: uint8 [size, size, 3].
+
+    PIL's bilinear resize runs in the uint8 domain, so
+    ``load_image(p) == load_image_u8(p).astype(f32) / 255`` bit-for-bit —
+    which lets eval readers ship 4x fewer host->device bytes and divide on
+    device (mvlt_tpu/eval/retrieval.py).  The reference transfers fp32 CHW
+    tensors (engine_grid_masking.py:337-393); same math, cheaper wire."""
     with open(path, "rb") as f:
         img = Image.open(f)
         if crop:
             img = whitespace_crop(img)
         img = img.convert("RGB")
     img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
 
 
 def image_from_array(arr: np.ndarray, size: int, crop: bool = True) -> np.ndarray:

@@ -36,6 +36,8 @@ def make_itm_scorer(model, variables) -> Callable:
 
     @jax.jit
     def score(variables, images: jnp.ndarray, input_ids: jnp.ndarray) -> jnp.ndarray:
+        if images.dtype == jnp.uint8:  # uint8-on-the-wire eval bundles
+            images = images.astype(jnp.float32) / 255.0
         out = model.apply(variables, images, input_ids, train=False)
         logits = out["itm_logits"].reshape(-1, 2).astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1)[:, 1]
@@ -82,7 +84,13 @@ def evaluate_retrieval(scorer: Callable, loader: Iterable, mesh=None,
         if pad:  # repeat the last bundle to fill the data axis
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
             ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
-        flat = {"images": imgs.reshape(((q + pad) * c,) + imgs.shape[2:]).astype(np.float32),
+        flat_imgs = imgs.reshape(((q + pad) * c,) + imgs.shape[2:])
+        if flat_imgs.dtype != np.uint8:
+            # uint8 bundles ship as-is (4x fewer H2D bytes); the scorer
+            # divides by 255 on device — bit-identical to fp32-on-the-wire
+            # because PIL resize ran in the uint8 domain (data/image_ops.py)
+            flat_imgs = flat_imgs.astype(np.float32)
+        flat = {"images": flat_imgs,
                 "input_ids": ids.reshape((q + pad) * c, -1)}
         if mesh is not None:
             flat = shard_batch(mesh, flat)

@@ -124,3 +124,45 @@ def test_recognition_end_to_end():
     res = evaluate_recognition(scorer, batches, num_super=5, num_sub=7, is_main=False)
     assert 0.0 <= res["sup_accuracy"] <= 1.0
     assert set(res) >= {"sup_macro_f1", "sub_weighted_f1"}
+
+
+def test_uint8_wire_bit_exact(tmp_path):
+    """uint8-on-the-wire eval bundles reproduce the fp32 path bit-for-bit:
+    PIL resizes in the uint8 domain, so load_image == load_image_u8/255
+    (data/image_ops.py), and make_itm_scorer divides on device."""
+    from PIL import Image
+
+    from mvlt_tpu.data.image_ops import load_image, load_image_u8
+
+    rng = np.random.default_rng(3)
+    arr = np.full((48, 40, 3), 255, np.uint8)
+    arr[5:40, 4:30] = rng.integers(0, 230, (35, 26, 3), np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(arr).save(p, quality=90)
+
+    f32 = load_image(p, 16)
+    u8 = load_image_u8(p, 16)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(f32, u8.astype(np.float32) / 255.0)
+
+    # the jitted scorer conversion is the same expression on device
+    import jax.numpy as jnp
+    dev = jnp.asarray(u8).astype(jnp.float32) / 255.0
+    np.testing.assert_array_equal(np.asarray(dev), f32)
+
+
+def test_evaluate_retrieval_uint8_bundles():
+    """evaluate_retrieval ships uint8 bundles unconverted (the scorer owns
+    the /255); fp32 bundles still arrive as fp32."""
+    seen_dtypes = []
+
+    def scorer(images, input_ids):
+        seen_dtypes.append(np.asarray(images).dtype)
+        return np.linspace(1.0, 0.0, images.shape[0]).astype(np.float32)
+
+    q_u8 = {"images_101": np.zeros((2, 7, 4, 4, 3), np.uint8),
+            "ori_input_ids_101": np.zeros((2, 7, 8), np.int32)}
+    q_f32 = {"images_101": np.zeros((2, 7, 4, 4, 3), np.float32),
+             "ori_input_ids_101": np.zeros((2, 7, 8), np.int32)}
+    evaluate_retrieval(scorer, [q_u8, q_f32], is_main=False)
+    assert seen_dtypes == [np.dtype(np.uint8), np.dtype(np.float32)]
