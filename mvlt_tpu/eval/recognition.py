@@ -25,6 +25,8 @@ def make_cls_scorer(model, variables) -> Callable:
 
     @jax.jit
     def score(variables, images: jnp.ndarray, input_ids: jnp.ndarray):
+        if images.dtype == jnp.uint8:  # uint8-on-the-wire eval batches
+            images = images.astype(jnp.float32) / 255.0
         out = model.apply(variables, images, input_ids, train=False)
         sup = jnp.argmax(out["sup_cls_logits"].reshape(images.shape[0], -1), axis=-1)
         sub = jnp.argmax(out["sub_cls_logits"].reshape(images.shape[0], -1), axis=-1)
@@ -45,7 +47,9 @@ def evaluate_recognition(scorer: Callable, loader: Iterable,
     dp = mesh.shape["data"] if mesh is not None else 1
     sup_labels, sup_preds, sub_labels, sub_preds, names = [], [], [], [], []
     for batch in loader:
-        imgs = np.asarray(batch["images"], np.float32)
+        imgs = np.asarray(batch["images"])
+        if imgs.dtype != np.uint8:  # uint8 ships as-is; scorer divides by 255
+            imgs = imgs.astype(np.float32)
         ids = np.asarray(batch["ori_input_ids"])
         b = imgs.shape[0]
         pad = (-b) % dp
