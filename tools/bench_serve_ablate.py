@@ -68,11 +68,16 @@ def run(tag, depths=(2, 2, 2, 2), pallas=True, kernel="full"):
     return dt
 
 
+import sys
+
+only = set(sys.argv[1:])  # e.g. `stages` to skip the kernel-form rows
+
 base = run("serving 2222 full")
 run("0222 (no stage1)", (0, 2, 2, 2))
 run("2022 (no stage2)", (2, 0, 2, 2))
 run("2202 (no stage3)", (2, 2, 0, 2))
 run("2220 (no stage4)", (2, 2, 2, 0))
 run("0000 (skeleton)", (0, 0, 0, 0))
-run("serving 2222 modular", kernel="none")
-run("serving 2222 xla", pallas=False)
+if "stages" not in only:
+    run("serving 2222 modular", kernel="none")
+    run("serving 2222 xla", pallas=False)
